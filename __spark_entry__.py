@@ -1,38 +1,68 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: a 3-round deterministic crawl of the
+                     synthetic web (the actual engine end-to-end), returning
+                     top hosts by newly-discovered URLs.
+``queries()``      — one entry per implemented operator (SURVEY.md §2),
+                     each (spark, sf_dir) -> DataFrame over the driver's
+                     testdata tables.
+``oracle_sql()``   — matching DuckDB SQL per query (column names aligned).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: run the PySpark-native crawler for 3 rounds on a 200-seed
+    deterministic synthetic web; return hosts ranked by URLs discovered.
+
+    Exercises the whole engine: frontier dequeue (window rank + politeness
+    caps), salted repartition, mapInPandas fetch+parse into interleaved
+    span arrays, vectorized canonicalization, Bloom-prefiltered seen-set
+    anti-join, MERGE-back + lineage (SURVEY.md §3.4).
+    """
+    from pyspark.sql import functions as F
+
+    from spider_spark import synth
+    from spider_spark.crawl import Crawler
+    from spider_spark.round import CrawlConfig
+
+    n_hosts, page_space = 25, 500
+    cfg = CrawlConfig(
+        n_hosts=n_hosts, page_space=page_space, max_retries=2,
+        fetch_partitions=4, use_bloom=True, bloom_shards=4, bloom_bits=1 << 16,
+    )
+    seeds = synth.seed_list(spark, 200, n_hosts, page_space)
+    hosts = synth.hosts_config(spark, n_hosts)
+    workdir = tempfile.mkdtemp(prefix="spider_spark_entry_")
+    crawler = Crawler(spark, workdir, cfg)
+    crawler.bootstrap(seeds, hosts)
+    crawler.run_rounds(3)
+    frontier = crawler.frontier_df()
+    return (
+        frontier.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum((F.col("state") == "fetched").cast("long")).alias("n_fetched"),
+            F.sum((F.col("state") == "dead").cast("long")).alias("n_dead"),
+            F.max("depth").alias("max_depth"),
+        )
+        .orderBy(F.col("n_urls").desc(), F.col("host"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from spider_spark.catalog import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from spider_spark.catalog import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,86 @@
+"""URL canonicalization + hashing — vectorized Arrow UDFs (no per-row Python).
+
+The reference absolutizes hrefs by naive string concat
+(flask_spider/spider/phone_book/phone_book.py:95: ``_host + href if _host
+not in href``) and dedups on exact DB keys; at web scale we need a real
+canonical form + a 64-bit hash.  Canonicalization rules (a documented,
+deterministic subset of RFC 3986 normalization):
+
+1. trim whitespace
+2. resolve scheme-relative / path-relative refs against the base URL
+3. lowercase scheme and host
+4. drop default ports (:80 http, :443 https)
+5. strip fragments (#...)
+6. collapse duplicate slashes in the path
+7. drop a trailing '?' and a bare trailing slash on non-root paths
+
+``url_hash`` is Spark's builtin ``xxhash64`` (seed 42) on the canonical
+string — JVM-side, whole-stage-codegen'd, zero Python cost.  The reference
+has no hashing (exact integer IDs); hashing is our scale adaptation
+(SURVEY.md §2.7 F15/F16).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def canonicalize_series(urls: pd.Series, bases: pd.Series | None = None) -> pd.Series:
+    """Pure-pandas canonicalizer (C-level str ops throughout)."""
+    s = urls.astype("string").str.strip()
+    if bases is not None:
+        b = bases.astype("string").str.strip()
+        # base origin = scheme://host[:port]
+        origin = b.str.extract(r"^([a-z][a-z0-9+.-]*://[^/]+)", expand=False)
+        scheme = b.str.extract(r"^([a-z][a-z0-9+.-]*):", expand=False)
+        is_abs = s.str.contains(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", na=False)
+        is_scheme_rel = s.str.startswith("//").fillna(False)
+        is_root_rel = s.str.startswith("/").fillna(False) & ~is_scheme_rel
+        s = s.where(is_abs | is_scheme_rel | is_root_rel | s.isna(),
+                    origin.fillna("") + "/" + s)          # path-relative
+        s = s.where(~is_root_rel, origin.fillna("") + s)  # root-relative
+        s = s.where(~is_scheme_rel, scheme.fillna("http") + ":" + s)
+    # lowercase scheme + host (authority part only)
+    parts = s.str.extract(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$")
+    good = parts[0].notna()
+    rest = parts[2].fillna("")
+    rest = rest.str.replace(r"#.*$", "", regex=True)       # strip fragment
+    rest = rest.str.replace(r"/{2,}", "/", regex=True)     # collapse //
+    rest = rest.str.replace(r"\?$", "", regex=True)        # bare trailing ?
+    rest = rest.str.replace(r"(.)/$", r"\1", regex=True)   # trailing / (non-root)
+    host = parts[1].str.lower()
+    scheme_lc = parts[0].str.lower()
+    host = host.where(~(scheme_lc.eq("http") & host.str.endswith(":80")), host.str.replace(r":80$", "", regex=True))
+    host = host.where(~(scheme_lc.eq("https") & host.str.endswith(":443")), host.str.replace(r":443$", "", regex=True))
+    canon = scheme_lc + "://" + host + rest
+    return canon.where(good, s).astype("string")
+
+
+def _canon1(urls: pd.Series) -> pd.Series:
+    return canonicalize_series(urls).astype(object)
+
+
+def _canon2(urls: pd.Series, bases: pd.Series) -> pd.Series:
+    return canonicalize_series(urls, bases).astype(object)
+
+
+def canonicalize_udf(url: Column) -> Column:
+    """Vectorized canonicalizer (UDF registered lazily — needs a session)."""
+    return pandas_udf(_canon1, "string")(url)
+
+
+def canonicalize_with_base_udf(url: Column, base: Column) -> Column:
+    return pandas_udf(_canon2, "string")(url, base)
+
+
+def host_col(url: Column) -> Column:
+    """Host of a canonical URL — pure JVM expression (codegen'd)."""
+    return F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1)
+
+
+def url_hash_col(url: Column) -> Column:
+    """64-bit stable hash of the canonical URL (JVM xxhash64, seed 42)."""
+    return F.xxhash64(url)

@@ -1,0 +1,577 @@
+"""Operator catalog: SURVEY.md §2 operators re-expressed over the
+driver's testdata tables, each paired with a DuckDB oracle SQL string.
+
+Conventions (driver contract):
+- every callable takes (spark, sf_dir) and returns a DataFrame,
+- every computed column is aliased IDENTICALLY in Spark and SQL,
+- double aggregates are rounded on both sides so value-hashes match,
+- no ORDER BY needed for parity (driver compare is order-insensitive),
+  but LIMIT queries order deterministically with a unique tie-break.
+
+Each entry's docstring cites the reference behavior it reproduces
+(file:line under /root/reference/flask_spider unless noted).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# §2.2 projections / filters / predicates
+# =====================================================================
+
+@q(
+    "p1_key_convert",
+    "SELECT c_custkey AS cust_id, c_name AS cust_name, c_mktsegment AS segment FROM customer",
+)
+def p1_key_convert(spark, sf_dir):
+    """P1 key-convert projection: static rename map -> select/alias
+    (shixin_spider.py:174-180, configuration/columns.py:8-26)."""
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_name").alias("cust_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@q(
+    "p2_flag_derive",
+    "SELECT o_orderkey, CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS done_flag FROM orders",
+)
+def p2_flag_derive(spark, sf_dir):
+    """P2 flag derivation: presence/value -> 0/1 flag (shixin_spider.py:179)."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("done_flag"),
+    )
+
+
+@q(
+    "p3_missing_fill",
+    "SELECT event_id, COALESCE(NULLIF(props, ''), '{}') AS props_filled FROM events",
+)
+def p3_missing_fill(spark, sf_dir):
+    """P3 missing-field fill: absent -> '' default (db_config.py:29-33)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("props"), F.lit("")), F.lit("{}")).alias("props_filled"),
+    )
+
+
+@q(
+    "p4_enum_recode",
+    """SELECT CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+              WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 0 END AS type_code,
+              COUNT(*) AS n
+       FROM events GROUP BY 1""",
+)
+def p4_enum_recode(spark, sf_dir):
+    """P4 enum recode: 主叫->1 / 被叫->2 / else 3 (china_unicom.py:318-334)."""
+    ev = _t(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "signup", 4)
+        .otherwise(0)
+    )
+    return ev.groupBy(code.alias("type_code")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "p5_date_split",
+    """SELECT event_id, strftime(ts, '%Y-%m-%d') AS event_date,
+              strftime(ts, '%H:%M:%S') AS event_time FROM events""",
+)
+def p5_date_split(spark, sf_dir):
+    """P5 date-time split: '04-01 11:18:50' -> date + time cols
+    (china_mobile_gd.py:293-297, parse_json.py:24-28)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.date_format("ts", "HH:mm:ss").alias("event_time"),
+    )
+
+
+@q(
+    "p6_month_prefix",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'""",
+)
+def p6_month_prefix(spark, sf_dir):
+    """P6 month-prefix filter: date startswith 'YYYY-MM' (check_spider.py:60-61)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.date_format("o_orderdate", "yyyy-MM") == "1996-03")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "p7_like_prefix",
+    "SELECT c_custkey, c_name FROM customer WHERE c_name LIKE 'Customer#00000012%'",
+)
+def p7_like_prefix(spark, sf_dir):
+    """P7 LIKE-prefix predicate: name LIKE 'x%' (check_spider.py:176-191)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_name").startswith("Customer#00000012"))
+        .select("c_custkey", "c_name")
+    )
+
+
+@q(
+    "p8_ilike_contains",
+    "SELECT p_partkey, p_name FROM part WHERE lower(p_name) LIKE '%widget%'",
+)
+def p8_ilike_contains(spark, sf_dir):
+    """P8 ILIKE-contains predicate (check_spider.py:214-217)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.lower(F.col("p_name")).contains("widget"))
+        .select("p_partkey", "p_name")
+    )
+
+
+@q(
+    "p9_mask",
+    """SELECT c_custkey, concat(substr(c_name, 1, 10), '****', substr(c_name, 15, 4)) AS masked
+       FROM customer""",
+)
+def p9_mask(spark, sf_dir):
+    """P9 card-number masking: [:10]+'****'+[14:] (check_spider.py:183-184)."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.substring("c_name", 1, 10), F.lit("****"), F.substring("c_name", 15, 4)
+        ).alias("masked"),
+    )
+
+
+@q(
+    "p11_sanity_filter",
+    """SELECT lang, COUNT(*) AS n FROM documents
+       WHERE length(text) >= 100 AND regexp_matches(text, '^[a-z ]+$')
+       GROUP BY lang""",
+)
+def p11_sanity_filter(spark, sf_dir):
+    """P11 row sanity filter: length + regex gate (phone_book.py:155-156)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter((F.length("text") >= 100) & F.col("text").rlike("^[a-z ]+$"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =====================================================================
+# §2.3 joins
+# =====================================================================
+
+@q(
+    "j1_broadcast_enrich",
+    """SELECT p.p_brand, ROUND(SUM(l.l_extendedprice), 2) AS revenue
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       GROUP BY p.p_brand""",
+)
+def j1_broadcast_enrich(spark, sf_dir):
+    """J1 constant-enrichment join: stamp fact rows with dim attrs, dim
+    broadcast (china_unicom.py:295-313 session enrich)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+
+
+@q(
+    "j2_fk_join",
+    """SELECT o.o_orderpriority, COUNT(*) AS n_lines, ROUND(SUM(l.l_quantity), 2) AS sum_qty
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY o.o_orderpriority""",
+)
+def j2_fk_join(spark, sf_dir):
+    """J2 FK equi-join on indexed keys (t_operator.sql:52 'for fast inner join')."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@q(
+    "j4_anti_range",
+    """SELECT g.id AS missing_id
+       FROM (SELECT unnest(generate_series(0, 199)) AS id) g
+       WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = g.id)""",
+)
+def j4_anti_range(spark, sf_dir):
+    """J4 lost-ID sweep: full range MINUS seen (shixin_python_sql.py:97-116).
+    ``spark.range`` generates the ID space distributed; left_anti = NOT EXISTS."""
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    return (
+        spark.range(0, 200)
+        .select(F.col("id").cast("long"))
+        .join(ev, "id", "left_anti")
+        .select(F.col("id").alias("missing_id"))
+    )
+
+
+@q(
+    "j5_anti_seen",
+    """SELECT c.c_custkey FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def j5_anti_seen(spark, sf_dir):
+    """J5 anti join vs visited set — the URL-seen dedup shape
+    (phone_book.py:107-110)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey")
+
+
+@q(
+    "j6_dim_lookup",
+    """SELECT r.r_name, COUNT(*) AS n_nations
+       FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name""",
+)
+def j6_dim_lookup(spark, sf_dir):
+    """J6 dim lookup join: code -> name broadcast map (check_spider.py:31-36)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@q(
+    "j7_semi_join",
+    """SELECT o.o_orderkey, o.o_totalprice FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)""",
+)
+def j7_semi_join(spark, sf_dir):
+    """J7 semi-join re-enqueue confirmation (shixin_spider.py:345-398)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return o.join(li, "o_orderkey", "left_semi").select("o_orderkey", "o_totalprice")
+
+
+# =====================================================================
+# §2.4 aggregations
+# =====================================================================
+
+@q(
+    "a1_count_by_state",
+    "SELECT o_orderstatus AS state, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+)
+def a1_count_by_state(spark, sf_dir):
+    """A1 valid/invalid per-batch counts (shixin_spider.py:219-232)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("state"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "a2_regex_extract_agg",
+    """SELECT event_type, MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k,
+              SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k
+       FROM events WHERE props LIKE '%"k"%' GROUP BY event_type""",
+)
+def a2_regex_extract_agg(spark, sf_dir):
+    """A2 result-count extraction: regex 共(\\d+) over page (shixin_search.py:131-146)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("props").contains('"k"'))
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.max(k).alias("max_k"), F.sum(k).alias("sum_k")
+    )
+
+
+@q(
+    "a3_ceil_pages",
+    """SELECT c_mktsegment, CAST(CEIL(COUNT(*) / 10.0) AS BIGINT) AS pages
+       FROM customer GROUP BY c_mktsegment""",
+)
+def a3_ceil_pages(spark, sf_dir):
+    """A3 page-count derivation: ceil(total/10.0) (shixin_search.py:143)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.ceil(F.count(F.lit(1)) / 10.0).cast("bigint").alias("pages"))
+    )
+
+
+@q(
+    "a4_dedup_unique_key",
+    """SELECT COUNT(*) AS n_unique FROM
+       (SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem)""",
+)
+def a4_dedup_unique_key(spark, sf_dir):
+    """A4 insert-time unique-key dedup (db_config.py:46-54 IntegrityError skip)
+    -> dropDuplicates on the key columns."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .dropDuplicates()
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+@q(
+    "a5_group_stats",
+    """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              COUNT(*) AS n_rows
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def a5_group_stats(spark, sf_dir):
+    """A5 per-group stats (clawLog share_func.py:260-273), TPC-H-Q1 shape.
+    Partial (map-side) aggregation + final merge are automatic."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@q("a6_distinct", "SELECT DISTINCT c_mktsegment AS segment FROM customer")
+def a6_distinct(spark, sf_dir):
+    """A6 SELECT DISTINCT for cascading dropdowns (check_spider.py:133-139)."""
+    return _t(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("segment")).distinct()
+
+
+# =====================================================================
+# §2.5 windows / sorts / limits
+# =====================================================================
+
+@q(
+    "w1_ranked_dequeue",
+    """SELECT user_id, event_id, rn FROM
+       (SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, ts, event_id) AS rn
+        FROM events)
+       WHERE rn <= 3""",
+)
+def w1_ranked_dequeue(spark, sf_dir):
+    """W1 ordered frontier dequeue: rank per bucket, take top-k — the core
+    dequeue operator (getGroups shixin_spider.py:260-274 ascending sweep)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+@q(
+    "w2_limit_dequeue",
+    """SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 100""",
+)
+def w2_limit_dequeue(spark, sf_dir):
+    """W2 LIMIT-n dequeue (shixin_python_sql.py:27 'LIMIT {num}') —
+    TakeOrdered, not a global sort."""
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(100)
+        .select("event_id", "value")
+    )
+
+
+@q(
+    "w4_stable_chunking",
+    """SELECT batch_id, COUNT(*) AS n FROM
+       (SELECT CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY event_id) - 1) / 128) AS BIGINT) AS batch_id
+        FROM events)
+       GROUP BY batch_id""",
+)
+def w4_stable_chunking(spark, sf_dir):
+    """W4 order-preserving chunking: splitGroups(seq, step, n)
+    (shixin_spider.py:277-296) -> floor(row_number/step) batch ids."""
+    w = Window.orderBy("event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(F.floor((F.row_number().over(w) - 1) / 128).cast("bigint").alias("batch_id"))
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "w5_month_windows",
+    """SELECT strftime(m, '%Y-%m') AS month, COUNT(o.o_orderkey) AS n_orders
+       FROM (SELECT unnest(generate_series(TIMESTAMP '1996-01-01', TIMESTAMP '1996-12-01',
+                                           INTERVAL 1 MONTH)) AS m) months
+       LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = months.m
+       GROUP BY 1""",
+)
+def w5_month_windows(spark, sf_dir):
+    """W5 month-window generation (param_date.py:19-45 last-N-months pairs)
+    -> sequence + explode month spine, left join facts."""
+    months = spark.sql(
+        """SELECT explode(sequence(to_timestamp('1996-01-01'), to_timestamp('1996-12-01'),
+                                   interval 1 month)) AS m"""
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        months.join(o, F.date_trunc("month", o.o_orderdate) == months.m, "left")
+        .groupBy(F.date_format("m", "yyyy-MM").alias("month"))
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# =====================================================================
+# §2.6 set ops
+# =====================================================================
+
+@q(
+    "u1_union",
+    """SELECT c_nationkey AS nationkey FROM customer
+       UNION SELECT s_nationkey FROM supplier""",
+)
+def u1_union(spark, sf_dir):
+    """U1 union of id spaces (shixin_python_sql.py:105-112)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@q(
+    "u2_except",
+    """SELECT p_partkey FROM part EXCEPT SELECT l_partkey FROM lineitem""",
+)
+def u2_except(spark, sf_dir):
+    """U2 set difference (shixin_python_sql.py:115)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    l = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return p.exceptAll(l.distinct()).distinct()
+
+
+# =====================================================================
+# §2.7 scalar functions
+# =====================================================================
+
+@q(
+    "f1_json_parse",
+    """SELECT event_type, MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       FROM events GROUP BY event_type""",
+)
+def f1_json_parse(spark, sf_dir):
+    """F1/F2 JSON parse + path extraction (json.loads shixin_spider.py:170;
+    nested chains china_unicom.py:302)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.max(F.get_json_object("props", "$.k").cast("bigint")).alias("max_k"))
+    )
+
+
+@q(
+    "f4_regex_extract",
+    """SELECT regexp_extract(text, '^(\\w+)', 1) AS first_word, COUNT(*) AS n
+       FROM documents GROUP BY 1""",
+)
+def f4_regex_extract(spark, sf_dir):
+    """F4 regex extract (共(\\d+) shixin_search.py:134; proxy_spider.py:33-34)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "f6_whitespace_normalize",
+    """SELECT ROUND(AVG(length(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 2) AS avg_norm_len
+       FROM documents""",
+)
+def f6_whitespace_normalize(spark, sf_dir):
+    """F6 whitespace normalize (.replace('\\n','')... shixin_search.py:134)."""
+    norm = F.length(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return _t(spark, sf_dir, "documents").agg(F.round(F.avg(norm), 2).alias("avg_norm_len"))
+
+
+@q(
+    "f10_lpad",
+    "SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded, n_name FROM nation",
+)
+def f10_lpad(spark, sf_dir):
+    """F10 zero-pad month (_getStrMonth param_date.py:5-17)."""
+    return _t(spark, sf_dir, "nation").select(
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("padded"), "n_name"
+    )
+
+
+@q(
+    "f12_cast_ceil",
+    """SELECT CAST(SUM(CAST(CEIL(l_extendedprice / 100.0) AS BIGINT)) AS BIGINT) AS s
+       FROM lineitem""",
+)
+def f12_cast_ceil(spark, sf_dir):
+    """F12 int cast + ceil math (shixin_search.py:136,143)."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.sum(F.ceil(F.col("l_extendedprice") / 100.0).cast("bigint")).cast("bigint").alias("s")
+    )
+
+
+@q(
+    "f13_substring",
+    """SELECT COUNT(DISTINCT substr(c_name, 10, 8)) AS n_distinct_tails FROM customer""",
+)
+def f13_substring(spark, sf_dir):
+    """F13 substring truncate (card_num[:10] check_spider.py:214-215)."""
+    return _t(spark, sf_dir, "customer").agg(
+        F.countDistinct(F.substring("c_name", 10, 8)).alias("n_distinct_tails")
+    )
+
+
+# part 2 (windows/sessionize, text analysis, dedup, similarity,
+# multimodal, crawl demos) registers itself into QUERIES/ORACLES:
+from . import catalog_pipeline  # noqa: E402,F401  (registration side-effect)

@@ -1,0 +1,340 @@
+"""Catalog part 2: windows (sessionize/running), array ops, cache-aside
+join, and the training-data pipeline operators (dedup / similarity /
+text analysis / multimodal) over the testdata tables.
+
+Entries without an oracle are genuinely non-SQL-expressible in DuckDB
+(minhash-LSH, simhash, LSH-ANN, media featurization, crawl rounds) and
+get rows-only checks; their correctness gates live in tests/ (recall vs
+brute force, exact-copy recovery, etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .catalog import _t, q
+
+
+# =====================================================================
+# more joins / windows
+# =====================================================================
+
+@q(
+    "j3_cache_aside",
+    """SELECT c.c_custkey, COALESCE(MAX(o.o_orderdate), TIMESTAMP '1900-01-01') AS last_order
+       FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_custkey""",
+)
+def j3_cache_aside(spark, sf_dir):
+    """J3 cache-aside lookup: query local table first, default on miss
+    (check_spider.py:176-201 DB-hit-else-crawl)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(F.max("o_orderdate"), F.to_timestamp(F.lit("1900-01-01"))).alias(
+                "last_order"
+            )
+        )
+    )
+
+
+@q(
+    "w6_sessionize",
+    """SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions FROM (
+         SELECT user_id,
+                SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+         FROM (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL 1 HOUR OR
+                            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events))
+       GROUP BY user_id""",
+)
+def w6_sessionize(spark, sf_dir):
+    """Gap-based sessionization (1h inactivity): lag + cumsum windows —
+    the batch equivalent of session_window streaming."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    lag_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        lag_ts.isNull() | (F.col("ts") - lag_ts > F.expr("INTERVAL 1 HOUR")), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(w))
+        .groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"))
+    )
+
+
+@q(
+    "w7_running_sum",
+    """SELECT user_id, event_id,
+              ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running
+       FROM events""",
+)
+def w7_running_sum(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("running")
+    )
+
+
+@q(
+    "f17_explode_tokens",
+    """SELECT token, COUNT(*) AS n FROM (
+         SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents)
+       GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+)
+def f17_explode_tokens(spark, sf_dir):
+    """Array explode + top-k: the link-extraction shape (explode over span
+    arrays) on text tokens."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+# =====================================================================
+# text analysis
+# =====================================================================
+
+@q(
+    "t1_token_count",
+    """SELECT doc_id, length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+       FROM documents""",
+)
+def t1_token_count(spark, sf_dir):
+    from .functions.text import token_count_col
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col(F.col("text")).cast("int").alias("n_tokens")
+    )
+
+
+@q(
+    "t2_quality_ratio",
+    """SELECT lang,
+              ROUND(AVG(CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g'))
+                        AS DOUBLE) / length(text)), 4) AS avg_nonalpha_ratio,
+              ROUND(AVG(length(text)), 2) AS avg_len
+       FROM documents WHERE length(text) > 0 GROUP BY lang""",
+)
+def t2_quality_ratio(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    nonalpha = F.length("text") - F.length(F.regexp_replace("text", "[^a-z ]", ""))
+    return d.groupBy("lang").agg(
+        F.round(F.avg(nonalpha.cast("double") / F.length("text")), 4).alias(
+            "avg_nonalpha_ratio"
+        ),
+        F.round(F.avg(F.length("text")), 2).alias("avg_len"),
+    )
+
+
+@q(
+    "t3_langid_markers",
+    """SELECT lang_guess, COUNT(*) AS n FROM (
+         SELECT CASE
+           WHEN len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                w -> list_contains(['the','and','of','is','a'], w))) >=
+                GREATEST(
+                  len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                      w -> list_contains(['der','und','die','ist','das'], w))),
+                  1)
+           THEN 'en'
+           WHEN len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                w -> list_contains(['der','und','die','ist','das'], w))) >= 1
+           THEN 'de'
+           ELSE 'unknown' END AS lang_guess
+         FROM documents)
+       GROUP BY lang_guess""",
+)
+def t3_langid_markers(spark, sf_dir):
+    """Marker-word language ID (two-language demo form with an exact SQL
+    twin; the full argmax variant is functions.text.langid_col)."""
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    en = F.array([F.lit(w) for w in ["the", "and", "of", "is", "a"]])
+    de = F.array([F.lit(w) for w in ["der", "und", "die", "ist", "das"]])
+    n_en = F.size(F.filter(words, lambda w: F.array_contains(en, w)))
+    n_de = F.size(F.filter(words, lambda w: F.array_contains(de, w)))
+    guess = (
+        F.when(n_en >= F.greatest(n_de, F.lit(1)), "en")
+        .when(n_de >= 1, "de")
+        .otherwise("unknown")
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(guess.alias("lang_guess"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =====================================================================
+# dedup
+# =====================================================================
+
+@q(
+    "d1_exact_dedup",
+    """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+)
+def d1_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy, first-wins (db_config.py:46-54 analog)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("content_md5"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@q("d2_minhash_lsh_pairs")  # rows-only: not SQL-expressible in DuckDB
+def d2_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs over documents ∪ (documents re-keyed):
+    every doc has an exact copy planted, so the pipeline must surface
+    ≥ n_docs pairs at jaccard 1.0.  Recall gate in tests/test_dedup.py."""
+    from .functions.dedup import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    planted = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return minhash_dedup(
+        d.unionByName(planted), num_perm=32, bands=8, k=5, threshold=0.8
+    )
+
+
+@q("d3_simhash_pairs")  # rows-only
+def d3_simhash_pairs(spark, sf_dir):
+    from .functions.dedup import simhash_near_pairs, simhash_signatures
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    planted = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    sigs = simhash_signatures(d.unionByName(planted))
+    return simhash_near_pairs(sigs, max_hamming=3)
+
+
+@q(
+    "d4_ngram_jaccard",
+    None,  # rows-only: DuckDB's jaccard() is character-set based, not n-gram
+)
+def d4_ngram_jaccard(spark, sf_dir):
+    """Exact 5-gram Jaccard on planted exact-copy pairs (verification
+    stage of the near-dup ladder, run standalone)."""
+    from .functions.dedup import jaccard_verify
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1_000_000).alias("id_b")
+    )
+    both = d.unionByName(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    return jaccard_verify(both, pairs, threshold=0.99)
+
+
+# =====================================================================
+# similarity search
+# =====================================================================
+
+@q(
+    "s1_cosine_topk",
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, q.qv), 4) AS cos_sim
+       FROM embeddings e, q WHERE e.vec_id <> 0
+       ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+)
+def s1_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the vec_id=0 query vector (JVM
+    zip_with/aggregate; TakeOrdered top-k)."""
+    from .functions.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
+
+
+@q("s2_ann_lsh_topk")  # rows-only; recall gate vs s1 in tests
+def s2_ann_lsh_topk(spark, sf_dir):
+    from .functions.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ann_lsh_topk(
+        emb.filter(F.col("vec_id") != 0), list(qv), k=10, n_planes=10, probe_hamming=2
+    )
+
+
+@q("s3_ivf_topk")  # rows-only; recall gate vs s1 in tests
+def s3_ivf_topk(spark, sf_dir):
+    from .functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ivf_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=10, n_cells=8, n_probe=3)
+
+
+# =====================================================================
+# multimodal plumbing
+# =====================================================================
+
+@q("m1_media_features")  # rows-only: decode is stubbed (no codec libs)
+def m1_media_features(spark, sf_dir):
+    """Binary media columns + mapInPandas featurization; media refs are
+    derived deterministically from document ids (stand-in for the media
+    store the crawler fills via media_ref pointers)."""
+    from .functions.multimodal import decode_and_featurize, synth_media_table
+
+    refs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit("/img0")).alias(
+            "media_ref"
+        )
+    )
+    return decode_and_featurize(synth_media_table(refs))
+
+
+# =====================================================================
+# crawl engine (rows-only: the DataFrame-native operators exercised on a
+# deterministic in-memory frontier; full parity gates live in tests/)
+# =====================================================================
+
+@q("c1_crawl_frontier_dequeue")
+def c1_crawl_frontier_dequeue(spark, sf_dir):
+    """W1 dequeue on a synthetic frontier: rank by (priority,
+    next_fetch_time, url) per host, cap per host."""
+    from . import synth
+    from .frontier import dequeue
+    from .politeness import eligible_hosts
+
+    seeds = synth.seed_list(spark, 500, 20, 1000)
+    fr = seeds.select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        F.regexp_extract("url", r"^http://([^/]+)/", 1).alias("host"),
+        "priority",
+        F.lit(0).alias("depth"),
+        F.lit("pending").alias("state"),
+        F.lit(0).alias("retry_count"),
+        F.lit(0).cast("long").alias("next_fetch_time"),
+        F.lit(0).cast("long").alias("discovered_round"),
+    )
+    hosts = synth.hosts_config(spark, 20)
+    return dequeue(fr, eligible_hosts(hosts, None, 1), 1).select(
+        "url", "host", "priority"
+    )

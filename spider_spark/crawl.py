@@ -1,0 +1,135 @@
+"""Crawl driver loop: bootstrap, rounds, MERGE-back, resume (T1).
+
+Replaces the reference's per-API crawl loops (shixinSpiderAPI
+shixin_spider.py:317-342; zhixingSpiderAPI zhixing_spider.py:229-260)
+and its JSON start-ID checkpoint (shixin_spider.py:299-312) with one
+generic loop over the versioned table store.  The reference's checkpoint
+bug — it writes the FINAL id even mid-run (shixin_spider.py:336) — is
+fixed structurally: a round's manifest commits only after every table of
+that round is durable, and resume rolls back to the last manifest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import canon, politeness
+from .bloom import ShardedBloom
+from .round import CrawlConfig, RoundResult, run_round
+from .schemas import FRONTIER, HOST_STATE, LINEAGE, SEEN
+from .storage import TableStore
+
+
+class Crawler:
+    def __init__(self, spark: SparkSession, workdir: str, cfg: CrawlConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.store = TableStore(spark, workdir)
+        self.bloom: ShardedBloom | None = (
+            ShardedBloom(cfg.bloom_shards, cfg.bloom_bits) if cfg.use_bloom else None
+        )
+
+    # ------------------------------------------------------------ bootstrap
+    def bootstrap(self, seeds: DataFrame, hosts: DataFrame) -> None:
+        """Seed list -> round-0 frontier; seeds are canonicalized, robots-
+        filtered, deduped (first-wins on lowest priority)."""
+        s = seeds.select(
+            canon.canonicalize_udf(F.col("url")).alias("url"), F.col("priority").cast("int")
+        )
+        s = s.groupBy("url").agg(F.min("priority").alias("priority"))
+        s = s.select(
+            "url",
+            canon.url_hash_col(F.col("url")).alias("url_hash"),
+            canon.host_col(F.col("url")).alias("host"),
+            "priority",
+        )
+        s = politeness.robots_allowed(s, hosts)
+        frontier0 = s.select(
+            "url",
+            "url_hash",
+            "host",
+            "priority",
+            F.lit(0).alias("depth"),
+            F.lit("pending").alias("state"),
+            F.lit(0).alias("retry_count"),
+            F.lit(0).cast("long").alias("next_fetch_time"),
+            F.lit(0).cast("long").alias("discovered_round"),
+        ).select([f.name for f in FRONTIER.fields])
+        self.store.write("frontier", self.spark.createDataFrame([], FRONTIER).unionByName(frontier0))
+        self.store.write("seen", frontier0.select("url_hash", "url"))
+        self.store.write("hosts", hosts)
+        self.store.write("host_state", self.spark.createDataFrame([], HOST_STATE))
+        self.store.write("lineage", self.spark.createDataFrame([], LINEAGE))
+        if self.bloom is not None:
+            self.bloom.update_from_df(self.spark, self.store.read("seen"))
+        self.store.commit_round(0)
+
+    # ------------------------------------------------------------ resume
+    def resume(self) -> int:
+        """Roll back to the last committed manifest; rebuild the Bloom
+        side-structure from the (authoritative) seen table."""
+        rid = self.store.restore_last_committed()
+        if rid is None:
+            raise RuntimeError("nothing to resume: no committed rounds")
+        if self.cfg.use_bloom:
+            self.bloom = ShardedBloom(self.cfg.bloom_shards, self.cfg.bloom_bits)
+            self.bloom.update_from_df(self.spark, self.store.read("seen"))
+        return rid
+
+    # ------------------------------------------------------------ rounds
+    def run_rounds(
+        self, n_rounds: int, record_order: bool = False, expire_keep: int = 3
+    ) -> list[RoundResult]:
+        start = (self.store.last_committed_round() or 0) + 1
+        results: list[RoundResult] = []
+        hosts_df = self.store.read("hosts").cache()
+        for r in range(start, start + n_rounds):
+            res, out = run_round(
+                self.spark,
+                self.cfg,
+                r,
+                self.store.read("frontier"),
+                self.store.read("seen"),
+                hosts_df,
+                self.store.read("host_state") if self.store.exists("host_state") else None,
+                self.bloom,
+                record_order=record_order,
+            )
+            if res.dequeued == 0:
+                # empty round: advance the clock (retry rows may be backed
+                # off into the future); stop only when the frontier is
+                # truly drained.
+                for df in out["_cached"]:
+                    df.unpersist()
+                remaining = (
+                    self.store.read("frontier")
+                    .filter(F.col("state").isin("pending", "retry"))
+                    .count()
+                )
+                if remaining == 0:
+                    break
+                self.store.commit_round(r)
+                continue
+            # MERGE-back (single-writer; each write is an atomic snapshot flip)
+            self.store.merge_upsert("frontier", out["frontier_updates"], key="url_hash")
+            self.store.append("seen", out["seen_delta"])
+            self.store.append("documents", out["documents"])
+            self.store.merge_upsert("host_state", out["host_updates"], key="host")
+            self.store.append("lineage", out["lineage"])
+            if self.bloom is not None and res.new_urls:
+                self.bloom.update_from_df(self.spark, out["seen_delta"])
+            self.store.commit_round(r)
+            self.store.expire_snapshots(keep=expire_keep)
+            for df in out["_cached"]:
+                df.unpersist()
+            results.append(res)
+        hosts_df.unpersist()
+        return results
+
+    # ------------------------------------------------------------ views
+    def seen_urls(self) -> set[str]:
+        return {r["url"] for r in self.store.read("seen").select("url").collect()}
+
+    def frontier_df(self) -> DataFrame:
+        return self.store.read("frontier")

@@ -1,0 +1,102 @@
+"""Frontier dequeue (the core W1 operator) + state-machine updates.
+
+The reference's total crawl order is deterministic: ascending IDs within
+a sub-group, sub-groups in order, groups in checkpoint order
+(shixin_spider.py:253-296 getGroups/splitGroups; zhixing_spider.py:203-212
+idQueue).  Our order is defined by ranking on
+``(priority, next_fetch_time, url)`` — never on partition order — so it
+is reproducible under any parallelism (SURVEY.md §7 hard-part (a)).
+
+Scale notes (10^10-row frontier):
+- the candidate filter (state + next_fetch_time) is a parquet-pushed
+  predicate; with Iceberg the frontier is partitioned by state and
+  bucketed by host so pending rows prune to a fraction of files.
+- per-host ranking shuffles by host once; the optional global cap uses
+  ``orderBy().limit(n)`` = TakeOrdered (per-partition top-n + driver
+  merge of n rows, NOT a global sort).  For giant batches leave
+  ``global_cap=None`` and let the per-host caps bound the batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ORDER_COLS = ["priority", "next_fetch_time", "url"]
+
+
+def dequeue(
+    frontier: DataFrame,
+    elig_hosts: DataFrame,
+    round_id: int,
+    global_cap: int | None = None,
+) -> DataFrame:
+    """One round's fetch batch.
+
+    pending/retry rows whose next_fetch_time has arrived, on an eligible
+    host, ranked (priority, next_fetch_time, url) per host, capped at the
+    host's max_concurrent, then optionally capped globally by the same
+    total order.
+    """
+    cand = frontier.filter(
+        F.col("state").isin("pending", "retry") & (F.col("next_fetch_time") <= F.lit(round_id))
+    ).join(elig_hosts, "host")
+    w = Window.partitionBy("host").orderBy(*[F.col(c).asc() for c in ORDER_COLS])
+    ranked = (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("max_concurrent"))
+        .drop("_rk", "max_concurrent")
+    )
+    if global_cap is not None:
+        ranked = ranked.orderBy(*[F.col(c).asc() for c in ORDER_COLS]).limit(global_cap)
+    return ranked
+
+
+def state_updates(results: DataFrame, round_id: int, max_retries: int) -> DataFrame:
+    """Frontier rows for the fetched batch with their post-fetch state.
+
+    err_type 0 -> fetched; 1/2 (request-failed/timeout) -> retry with
+    exponential backoff until max_retries then dead; 3 (unknown) -> dead.
+    Mirrors the reference's invalid-table routing (shixin_python_sql.py:
+    19-59: err 1/2 re-queued, err 3 flagged processed) but with a bounded
+    retry budget — the structural fix for its logged retry livelock
+    (测试中/.../整合代码修改日志).
+    """
+    new_retry = F.col("retry_count") + 1
+    backoff = F.expr("cast(shiftleft(1L, least(retry_count + 1, 6)) as long)")
+    retryable = F.col("err_type").isin(1, 2)
+    return results.select(
+        "url",
+        "url_hash",
+        "host",
+        "priority",
+        "depth",
+        F.when(F.col("err_type") == 0, F.lit("fetched"))
+        .when(retryable & (new_retry <= max_retries), F.lit("retry"))
+        .otherwise(F.lit("dead"))
+        .alias("state"),
+        F.when(retryable, new_retry).otherwise(F.col("retry_count")).cast("int").alias("retry_count"),
+        F.when(retryable & (new_retry <= max_retries), F.lit(round_id) + backoff)
+        .otherwise(F.lit(round_id))
+        .cast("long")
+        .alias("next_fetch_time"),
+        "discovered_round",
+    )
+
+
+def new_frontier_rows(new_links: DataFrame, round_id: int) -> DataFrame:
+    """Discovered links -> pending frontier rows, fetchable next round.
+
+    Child priority == child depth (BFS-ish frontier: shallower pages
+    first, matching the reference's sweep-in-discovery-order)."""
+    return new_links.select(
+        "url",
+        "url_hash",
+        "host",
+        F.col("depth").cast("int").alias("priority"),
+        F.col("depth").cast("int").alias("depth"),
+        F.lit("pending").alias("state"),
+        F.lit(0).alias("retry_count"),
+        F.lit(round_id + 1).cast("long").alias("next_fetch_time"),
+        F.lit(round_id).cast("long").alias("discovered_round"),
+    )

@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+The Spark-side plumbing (schemas, partition-friendly batch shapes,
+mapInPandas signatures) is real and tested; the actual codec calls are
+STUBBED deterministically because this container ships no image/audio
+libraries — each stub raises NotImplementedError when `strict=True`
+or produces a deterministic fake otherwise, clearly marked.
+
+Reference analog: the crawler streams images to disk separately from text
+(share_func.py:224-242 saveImage) and binarizes captcha pixels
+(share_func.py:194-221) — media bytes never travel inline with text rows,
+which is exactly the media_ref indirection here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("media_kind", T.StringType()),  # image | audio | video
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+MEDIA_FEATURES = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("media_kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+    ]
+)
+
+
+def synth_media_table(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+    """Deterministic fake media store: bytes derived from xxhash64(ref).
+
+    Plumbing is real: binary column, sizes vary per ref, kind from the
+    ref path.  (Stand-in for reading an object store by media_ref.)"""
+    h = F.xxhash64(F.col(ref_col))
+    n = (F.abs(h) % 3000 + 64).cast("int")  # < blob length, so n_bytes == len(content)
+    kind = (
+        F.when(F.col(ref_col).contains("img"), "image")
+        .when(F.col(ref_col).contains("aud"), "audio")
+        .otherwise("video")
+    )
+    # repeated sha2-hex truncated per ref — deterministic variable-length blob
+    blob = F.substring(F.repeat(F.sha2(F.col(ref_col), 256), 64), 1, 4096)
+    return refs.select(
+        F.col(ref_col).alias("media_ref"),
+        F.substring(blob, F.lit(1), n).cast("binary").alias("content"),
+        kind.alias("media_kind"),
+        n.alias("n_bytes"),
+    )
+
+
+def decode_and_featurize(media: DataFrame, strict: bool = False) -> DataFrame:
+    """mapInPandas feature extraction over binary media columns.
+
+    Batch shape: one Arrow batch of (media_ref, content, media_kind);
+    output one row per media item.  The decode itself is a STUB:
+    - strict=True  -> NotImplementedError (no codec libs in container)
+    - strict=False -> deterministic fake decode: width/height/frames from
+      a stable byte hash, entropy computed for real from the bytes.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "image/audio decode requires PIL/ffmpeg, not available in this container"
+                )
+            n = len(pdf)
+            widths = np.zeros(n, dtype=np.int32)
+            heights = np.zeros(n, dtype=np.int32)
+            frames = np.zeros(n, dtype=np.int32)
+            entropy = np.zeros(n, dtype=np.float64)
+            nbytes = np.zeros(n, dtype=np.int32)
+            for i, (content, kind) in enumerate(zip(pdf["content"], pdf["media_kind"])):
+                b = np.frombuffer(content or b"", dtype=np.uint8)
+                nbytes[i] = len(b)
+                if len(b):
+                    counts = np.bincount(b, minlength=256)
+                    p = counts[counts > 0] / len(b)
+                    entropy[i] = float(-(p * np.log2(p)).sum())
+                seed = int(b[:8].astype(np.int64).sum()) if len(b) >= 8 else 0
+                widths[i] = 16 + seed % 1024
+                heights[i] = 16 + (seed // 7) % 1024
+                frames[i] = 1 if kind == "image" else 1 + seed % 120
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_kind": pdf["media_kind"],
+                    "n_bytes": nbytes,
+                    "width": widths,
+                    "height": heights,
+                    "n_frames": frames,
+                    "byte_entropy": np.round(entropy, 4),
+                }
+            )
+
+    return media.mapInPandas(fn, MEDIA_FEATURES)
+
+
+def media_refs_from_documents(docs: DataFrame) -> DataFrame:
+    """Explode media spans out of interleaved documents (JVM explode)."""
+    return (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: pure JVM (zip_with + aggregate) — the
+  correctness baseline; one scan, TakeOrdered top-k, no shuffle.
+- LSH-bucketed ANN (random hyperplanes): deterministic plane matrix from
+  a seed, Arrow-batched signature UDF, bucket join, in-bucket exact
+  rerank — the scale path (touches only matching buckets).
+- IVF-style variant: k-means-ish coarse centroids chosen deterministically,
+  probe nearest cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k vs a literal query vector (JVM only).
+    orderBy().limit(k) compiles to TakeOrdered — per-partition heaps,
+    driver merges k rows; no global sort even at 10^10 vectors."""
+    qlit = F.array([F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            id_col,
+            F.round(cosine_col(F.col(vec_col), qlit), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).normal(size=(n_planes, dim)).astype(np.float64)
+
+
+def lsh_signature_udf(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
+    """Random-hyperplane signature: bit i = sign(v · plane_i) — one
+    matmul per Arrow batch."""
+    planes = _planes(dim, n_planes, seed)
+
+    def sig(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy())
+        bits = (m.astype(np.float64) @ planes.T) > 0
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
+
+    return pandas_udf(sig, "long")(vec)
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN: restrict the exact rerank to vectors whose hyperplane signature
+    is within `probe_hamming` bits of the query's (multi-probe LSH).
+
+    Scale path: the bucketed table is precomputed once (signature column +
+    optional bucketing on it); each query scans only matching buckets."""
+    dim = len(query_vec)
+    sigs = df.select(id_col, vec_col, lsh_signature_udf(F.col(vec_col), dim, n_planes, seed).alias("sig"))
+    q = np.array(query_vec, dtype=np.float64)
+    qsig = int(((_planes(dim, n_planes, seed) @ q) > 0).astype(np.int64) @ (1 << np.arange(n_planes, dtype=np.int64)))
+    cand = sigs.filter(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming)
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantization: deterministic pseudo-centroids (unit
+    gaussians from seed), assign each vector to its nearest centroid.
+    Real deployments train centroids with k-means; the assignment/probe
+    plumbing is identical."""
+    cents = _planes(dim, n_cells, seed)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assign(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        sims = m @ cents.T
+        return pd.Series(sims.argmax(axis=1).astype(np.int32))
+
+    return df.withColumn("ivf_cell", pandas_udf(assign, "int")(F.col(vec_col))), cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    dim = len(query_vec)
+    assigned, cents = ivf_assign(df, n_cells, id_col, vec_col, dim, seed)
+    q = np.array(query_vec, dtype=np.float64)
+    probe_cells = np.argsort(-(cents @ q))[:n_probe].tolist()
+    cand = assigned.filter(F.col("ivf_cell").isin(probe_cells))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -1,0 +1,164 @@
+"""One crawl round == one DataFrame job (SURVEY.md §3.4).
+
+dequeue (W1) → politeness gates (T2/T3) → salted repartition → fetch+parse
+(mapInPandas) → documents append → link extraction → canonicalize →
+Bloom prefilter + exact seen anti-join (J5) → MERGE-back (frontier /
+seen / host_state / documents) → per-partition lineage rows (T1).
+
+The driver only sequences rounds; every data-touching step is a
+DataFrame op.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import bloom as bloom_mod
+from . import canon, fetch, frontier, parse, politeness
+from .schemas import FRONTIER
+
+
+@dataclass
+class CrawlConfig:
+    n_hosts: int = 50
+    page_space: int = 1000
+    global_cap: int | None = None       # None -> per-host caps bound the batch
+    max_retries: int = 3
+    fetch_partitions: int = 8
+    salt: int = 8
+    use_bloom: bool = True
+    bloom_shards: int = 16
+    bloom_bits: int = 1 << 20
+    canonicalize_links: bool = True
+    extra: dict = field(default_factory=dict)
+
+
+@dataclass
+class RoundResult:
+    round_id: int
+    dequeued: int
+    fetched_ok: int
+    errors: int
+    new_urls: int
+    dup_urls: int
+    wall_ms: int
+    batch_urls: list[str] | None = None  # crawl-order parity (tests only)
+
+
+def run_round(
+    spark: SparkSession,
+    cfg: CrawlConfig,
+    round_id: int,
+    frontier_df: DataFrame,
+    seen_df: DataFrame,
+    hosts_df: DataFrame,
+    host_state_df: DataFrame | None,
+    bloom: bloom_mod.ShardedBloom | None,
+    record_order: bool = False,
+) -> tuple[RoundResult, dict[str, DataFrame]]:
+    """Pure-transform round: takes current table DataFrames, returns the
+    round result + the updated DataFrames (caller persists via storage)."""
+    t0 = time.monotonic()
+
+    elig = politeness.eligible_hosts(hosts_df, host_state_df, round_id)
+    batch = frontier.dequeue(frontier_df, elig, round_id, cfg.global_cap).cache()
+
+    results = fetch.fetch_batch(
+        batch, cfg.n_hosts, cfg.page_space, cfg.fetch_partitions, cfg.salt
+    ).cache()
+
+    # ---- documents (interleaved spans) for ok fetches
+    ok = results.filter(F.col("err_type") == 0)
+    docs = ok.select(
+        "doc_id", "spans", "url", "host", F.lit(round_id).cast("long").alias("fetch_round")
+    )
+
+    # ---- link extraction -> canonicalize -> robots -> dedup vs seen
+    links = parse.extract_links(ok.select("url", "depth", "spans"))
+    link_url = (
+        canon.canonicalize_with_base_udf(F.col("link"), F.col("url"))
+        if cfg.canonicalize_links
+        else F.col("link")
+    )
+    cand = (
+        links.select(link_url.alias("url"), (F.col("depth") + 1).alias("depth"))
+        .groupBy("url")
+        .agg(F.min("depth").cast("int").alias("depth"))
+        .select(
+            "url",
+            canon.url_hash_col(F.col("url")).alias("url_hash"),
+            canon.host_col(F.col("url")).alias("host"),
+            "depth",
+        )
+    )
+    cand = politeness.robots_allowed(cand, hosts_df).cache()
+    n_cand = cand.count()
+
+    definite_new, maybe_seen = bloom_mod.bloom_prefilter(spark, cand, bloom)
+    checked_new = maybe_seen.join(seen_df.select("url_hash"), "url_hash", "left_anti")
+    new_links = definite_new.unionByName(checked_new).cache()
+
+    # ---- MERGE-able outputs
+    updates = frontier.state_updates(results, round_id, cfg.max_retries)
+    new_rows = frontier.new_frontier_rows(new_links, round_id)
+    frontier_updates = updates.unionByName(new_rows).select([f.name for f in FRONTIER.fields])
+    seen_delta = new_links.select("url_hash", "url")
+    host_updates = politeness.quarantine_updates(results, round_id)
+
+    # ---- metrics (A1/A5 analog: per-batch valid/invalid counts ->
+    # per-partition lineage rows)
+    lineage = (
+        results.groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("dequeued"),
+            F.sum((F.col("err_type") == 0).cast("long")).alias("fetched_ok"),
+            F.sum((F.col("err_type") > 0).cast("long")).alias("errors"),
+        )
+        .select(
+            F.lit(round_id).cast("long").alias("round_id"),
+            "partition_id",
+            "dequeued",
+            "fetched_ok",
+            "errors",
+            F.lit(None).cast("long").alias("new_urls"),
+            F.lit(None).cast("long").alias("dup_urls"),
+            F.lit(None).cast("long").alias("wall_ms"),
+        )
+    )
+
+    agg = results.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum((F.col("err_type") == 0).cast("long")), F.lit(0)).alias("ok"),
+    ).collect()[0]
+    n_new = new_links.count()
+    batch_urls = None
+    if record_order:
+        batch_urls = [
+            r["url"]
+            for r in batch.orderBy(*[F.col(c) for c in frontier.ORDER_COLS]).select("url").collect()
+        ]
+
+    res = RoundResult(
+        round_id=round_id,
+        dequeued=int(agg["n"]),
+        fetched_ok=int(agg["ok"]),
+        errors=int(agg["n"] - agg["ok"]),
+        new_urls=int(n_new),
+        dup_urls=int(n_cand - n_new),
+        wall_ms=int((time.monotonic() - t0) * 1000),
+        batch_urls=batch_urls,
+    )
+    out = {
+        "frontier_updates": frontier_updates,
+        "new_links": new_links,
+        "seen_delta": seen_delta,
+        "documents": docs,
+        "host_updates": host_updates,
+        "lineage": lineage,
+        "_cached": [batch, results, cand, new_links],
+    }
+    return res, out

@@ -1,0 +1,95 @@
+"""Structured Streaming surface.
+
+The reference is a batch loop; its streaming-analog semantics (T1-T4,
+SURVEY.md §2.8) map to discrete rounds in crawl.py.  This module provides
+the genuinely-streaming equivalents for event tables: watermarked
+windowed aggregation and streaming dedup, run with Trigger.AvailableNow
+so each invocation processes exactly the available data — the 1:1
+mapping of "one crawl round == one micro-batch".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_COUNTER = [0]
+
+
+def _next_name(prefix: str) -> str:
+    _COUNTER[0] += 1
+    return f"{prefix}_{_COUNTER[0]}"
+
+
+def windowed_event_counts_stream(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """readStream(events) -> watermark -> tumbling-window counts per
+    event_type, drained with availableNow into a memory sink.
+
+    Late rows beyond the watermark are dropped by the engine; with
+    availableNow over static files the result equals the batch groupBy
+    (verified in tests)."""
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    # parquet NTZ timestamps -> session-TZ timestamps (watermarks require
+    # TIMESTAMP, not TIMESTAMP_NTZ)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    name = _next_name("win_counts")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{checkpoint_dir}/{name}")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def windowed_event_counts_batch(spark: SparkSession, events_path: str, window: str = "1 day") -> DataFrame:
+    return (
+        spark.read.parquet(events_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with state TTL via watermark —
+    the streaming twin of the seen-set anti-join (J5)."""
+    keys = keys or ["user_id", "event_type"]
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    dedup = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    name = _next_name("dedup")
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{checkpoint_dir}/{name}")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,70 @@
+"""Dedup ladder gates: planted exact copies must be recovered by every
+tier (exact, minhash+LSH, simhash, n-gram Jaccard)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .limit(120)
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def with_copies(docs):
+    return docs.unionByName(docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+
+
+def test_exact_dedup_first_wins(spark, with_copies):
+    from spider_spark.functions.dedup import exact_dedup, exact_dedup_by_hash
+
+    n = with_copies.count() // 2
+    groups = exact_dedup(with_copies)
+    assert groups.count() == n
+    assert groups.filter("n_copies = 2").count() == n
+    # first-wins: keep_id is always the original (lower) id
+    assert groups.filter("keep_id >= 1000000").count() == 0
+    assert exact_dedup_by_hash(with_copies).filter("n_copies = 2").count() == n
+
+
+def test_minhash_recovers_planted_copies(spark, docs, with_copies):
+    from spider_spark.functions.dedup import minhash_dedup
+
+    pairs = minhash_dedup(with_copies, num_perm=32, bands=8, k=5, threshold=0.8).cache()
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {(r["doc_id"], r["doc_id"] + 1_000_000) for r in docs.collect()}
+    missing = expected - got
+    assert not missing, f"minhash+LSH missed {len(missing)} exact-copy pairs"
+    # every surfaced pair really is >= threshold (verification stage ran)
+    assert pairs.filter("jaccard < 0.8").count() == 0
+    pairs.unpersist()
+
+
+def test_simhash_copies_have_zero_hamming(spark, docs, with_copies):
+    from spider_spark.functions.dedup import simhash_near_pairs, simhash_signatures
+
+    sigs = simhash_signatures(with_copies)
+    pairs = simhash_near_pairs(sigs, max_hamming=0)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {(r["doc_id"], r["doc_id"] + 1_000_000) for r in docs.collect()}
+    assert expected <= got
+
+
+def test_jaccard_verify_exact_copy_is_one(spark, docs, with_copies):
+    from spider_spark.functions.dedup import jaccard_verify
+
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1_000_000).alias("id_b")
+    )
+    out = jaccard_verify(with_copies, pairs, threshold=0.99)
+    assert out.count() == docs.count()
+    assert out.filter("jaccard < 1.0").count() == 0

@@ -1,0 +1,77 @@
+"""Local mirror of the driver's DuckDB oracle gate: every catalog query
+runs on Spark AND DuckDB at sf0.01; row multisets must match exactly
+(columns aligned by name, floats rounded, timestamps normalized)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        [tuple(_norm_cell(r[i]) for i in order) for r in rows],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def _query_names():
+    from spider_spark.catalog import ORACLES, QUERIES
+
+    assert set(ORACLES) <= set(QUERIES)
+    return sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_matches_oracle(spark, ddb, name):
+    from spider_spark.catalog import ORACLES, QUERIES
+
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = ddb.sql(ORACLES[name])
+    ddb_cols = [c.lower() for c in rel.columns]
+    ddb_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(ddb_cols), f"{name}: column sets differ"
+    assert len(spark_rows) == len(ddb_rows), (
+        f"{name}: row count {len(spark_rows)} vs oracle {len(ddb_rows)}"
+    )
+    a = _norm_rows(spark_cols, spark_rows)
+    b = _norm_rows(ddb_cols, ddb_rows)
+    mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:5]
+    assert a == b, f"{name}: first mismatches at {mism}: " + "; ".join(
+        f"spark={a[i]} oracle={b[i]}" for i in mism
+    )

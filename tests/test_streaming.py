@@ -1,0 +1,43 @@
+from __future__ import annotations
+
+import os
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events_dir(tmp_path) -> str:
+    """Spark's file-stream source requires a DIRECTORY; stage the events
+    parquet into one via symlink."""
+    d = tmp_path / "events_src"
+    d.mkdir(exist_ok=True)
+    link = d / "events.parquet"
+    if not link.exists():
+        os.symlink(f"{SF_DIR}/events.parquet", link)
+    return str(d)
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    from spider_spark.streaming.windows import (
+        windowed_event_counts_batch,
+        windowed_event_counts_stream,
+    )
+
+    path = _events_dir(tmp_path)
+    got = windowed_event_counts_stream(spark, path, str(tmp_path))
+    exp = windowed_event_counts_batch(spark, path)
+    g = {(r["window_start"], r["event_type"]): r["n"] for r in got.collect()}
+    e = {(r["window_start"], r["event_type"]): r["n"] for r in exp.collect()}
+    assert g == e and len(g) > 0
+
+
+def test_streaming_dedup_keeps_one_per_key(spark, tmp_path):
+    from spider_spark.streaming.windows import streaming_dedup
+
+    path = _events_dir(tmp_path)
+    got = streaming_dedup(spark, path, str(tmp_path), keys=["user_id", "event_type"])
+    n_keys = (
+        spark.read.parquet(path).select("user_id", "event_type").distinct().count()
+    )
+    assert got.select("user_id", "event_type").distinct().count() == got.count()
+    # availableNow over one static batch: every key appears exactly once
+    assert got.count() == n_keys

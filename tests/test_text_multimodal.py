@@ -1,0 +1,79 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_text_profile_columns(spark):
+    from spider_spark.functions.text import text_profile
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    prof = text_profile(d).cache()
+    row = prof.first()
+    for c in ["n_tokens", "punct_ratio", "stopword_ratio", "quality_score", "lang_guess", "fingerprint"]:
+        assert c in prof.columns
+    assert prof.filter("quality_score < 0 or quality_score > 1").count() == 0
+    assert prof.filter("n_tokens <= 0").count() == 0
+    # deterministic: same input -> same fingerprint
+    prof2 = text_profile(d)
+    j = prof.select("doc_id", "fingerprint").join(
+        prof2.select("doc_id", F.col("fingerprint").alias("f2")), "doc_id"
+    )
+    assert j.filter("fingerprint != f2").count() == 0
+    prof.unpersist()
+
+
+def test_media_plumbing(spark):
+    from spider_spark.functions.multimodal import (
+        decode_and_featurize,
+        media_refs_from_documents,
+        synth_media_table,
+    )
+    from spider_spark.synth import interleaved_documents
+
+    docs = interleaved_documents(spark, 60, n_hosts=10, page_space=100)
+    refs = media_refs_from_documents(docs)
+    n_refs = refs.count()
+    assert n_refs > 0
+
+    media = synth_media_table(refs)
+    assert media.schema["content"].dataType.typeName() == "binary"
+    feats = decode_and_featurize(media).cache()
+    assert feats.count() == n_refs
+    assert feats.filter("n_bytes <= 0").count() == 0
+    assert feats.filter("byte_entropy < 0 or byte_entropy > 8").count() == 0
+    assert feats.filter("width < 16 or height < 16").count() == 0
+    feats.unpersist()
+
+
+def test_media_strict_mode_raises(spark):
+    import pytest
+
+    from spider_spark.functions.multimodal import decode_and_featurize, synth_media_table
+
+    refs = spark.createDataFrame([("media://x/img0",)], ["media_ref"])
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        decode_and_featurize(synth_media_table(refs), strict=True).collect()
+
+
+def test_html_to_spans_roundtrip(spark):
+    """HTML -> interleaved spans: mirrors the reference's mixed text+image
+    pages (html/person_credit fixtures with <img> + text + links)."""
+    from spider_spark.parse import html_to_spans, html_to_spans_udf
+
+    html = (
+        "<html><title>报告页</title><body>some text"
+        '<img src="media://cap/img1"><a href="/p13">next</a> tail</body></html>'
+    )
+    spans = html_to_spans(html)
+    kinds = [s["kind"] for s in spans]
+    # anchor text 'next' and the trailing ' tail' are separate text spans
+    assert kinds == ["title", "text", "media", "link", "text", "text"]
+    assert [s["offset"] for s in spans] == list(range(6))
+    assert spans[2]["media_ref"] == "media://cap/img1"
+    assert spans[3]["text"] == "/p13"
+
+    df = spark.createDataFrame([(html,)], ["body"])
+    got = df.select(html_to_spans_udf(F.col("body")).alias("spans")).first()["spans"]
+    assert [(s["kind"], s["offset"]) for s in got] == [(s["kind"], s["offset"]) for s in spans]
