@@ -28,8 +28,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+# already-canonical: lowercase scheme://host, no default port, no fragment,
+# no '//' in path, no trailing '?' or slash — the overwhelmingly common case
+# on a real crawl, so it gets a single-regex fast path.
+_CANONICAL_RE = r"^https?://[a-z0-9.-]+(/[^?#/]+(/[^?#/]+)*(\?[^#]*[^#?])?)?$"
+
+
 def canonicalize_series(urls: pd.Series, bases: pd.Series | None = None) -> pd.Series:
-    """Pure-pandas canonicalizer (C-level str ops throughout)."""
+    """Pure-pandas canonicalizer (C-level str ops throughout).
+
+    Fast path: rows matching ``_CANONICAL_RE`` (and needing no base
+    resolution) pass through untouched; only the rest pay the full
+    normalization pipeline."""
+    s0 = urls.astype("string")
+    fast = s0.str.match(_CANONICAL_RE, na=False)
+    if bool(fast.all()) and len(s0):
+        return s0
+    slow = _canonicalize_slow(s0[~fast], None if bases is None else bases[~fast])
+    out = s0.copy()
+    out[~fast] = slow
+    return out
+
+
+def _canonicalize_slow(urls: pd.Series, bases: pd.Series | None = None) -> pd.Series:
     s = urls.astype("string").str.strip()
     if bases is not None:
         b = bases.astype("string").str.strip()

@@ -575,3 +575,4 @@ def f13_substring(spark, sf_dir):
 # part 2 (windows/sessionize, text analysis, dedup, similarity,
 # multimodal, crawl demos) registers itself into QUERIES/ORACLES:
 from . import catalog_pipeline  # noqa: E402,F401  (registration side-effect)
+from . import catalog_extra  # noqa: E402,F401  (registration side-effect)

@@ -78,6 +78,13 @@ class Crawler:
         return rid
 
     # ------------------------------------------------------------ rounds
+    def _materialize(self, name: str, df: DataFrame) -> DataFrame:
+        """Pin a round intermediate as a parquet snapshot (the cost Iceberg
+        MERGE pays anyway) instead of an in-memory nested-row cache —
+        measured 5-10x faster at high core counts (see round.run_round)."""
+        self.store.write(name, df)
+        return self.store.read(name)
+
     def run_rounds(
         self, n_rounds: int, record_order: bool = False, expire_keep: int = 3
     ) -> list[RoundResult]:
@@ -95,6 +102,7 @@ class Crawler:
                 self.store.read("host_state") if self.store.exists("host_state") else None,
                 self.bloom,
                 record_order=record_order,
+                materialize=self._materialize,
             )
             if res.dequeued == 0:
                 # empty round: advance the clock (retry rows may be backed

@@ -10,6 +10,15 @@ Differences by design:
   (shixin_spider.py:190-216): one session object per partition per round,
   created inside the iterator (T5).
 
+Performance layout (the 100 TB-relevant part):
+- the Python stage emits ONLY flat vectorized columns (numpy/pandas C
+  ops — status mix, titles, texts, link URLs); it never builds per-row
+  nested objects.
+- the interleaved ``spans`` array is assembled JVM-side from those flat
+  columns with higher-order functions (named_struct + filter + transform
+  with index), inside whole-stage codegen.  With a real HTTP fetcher the
+  same split holds: Python touches bytes, the JVM shapes rows.
+
 Skew: the reference hand-tunes thread counts per source; we kill
 hot-host skew generically with a salted repartition on
 ``(host, pmod(xxhash64(url), salt))`` — every host spreads over at most
@@ -27,7 +36,7 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import simnet
+from . import canon, simnet
 from .schemas import FETCH_RESULT
 
 _PASSTHROUGH = [
@@ -40,6 +49,35 @@ _PASSTHROUGH = [
     "discovered_round",
 ]
 
+_RAW_SCHEMA = (
+    "url string, url_hash long, host string, priority int, depth int, "
+    "retry_count int, discovered_round long, partition_id int, "
+    "status int, err_type int, doc_id string, "
+    "title string, text1 string, has_media boolean, media_ref string, "
+    "has_text2 boolean, text2 string, n_links int, "
+    "link0 string, link1 string, link2 string"
+)
+
+# spans assembled in the JVM (codegen) from the flat fetch columns;
+# offsets strictly increasing by construction (the per-row invariant).
+_SPANS_EXPR = """
+CASE WHEN err_type = 0 THEN
+  concat(
+    array(named_struct('kind','title','text',title,'media_ref','','offset',0),
+          named_struct('kind','text','text',text1,'media_ref','','offset',1)),
+    filter(array(named_struct('kind','media','text','','media_ref',media_ref,'offset',2)),
+           x -> has_media),
+    filter(array(named_struct('kind','text','text',text2,'media_ref','',
+                              'offset', 2 + if(has_media,1,0))),
+           x -> has_text2),
+    transform(slice(array(link0,link1,link2), 1, n_links),
+              (l, i) -> named_struct('kind','link','text',l,'media_ref','',
+                                     'offset', 2 + if(has_media,1,0) + if(has_text2,1,0) + i))
+  )
+ELSE cast(null as array<struct<kind:string,text:string,media_ref:string,offset:int>>)
+END
+"""
+
 
 def salted_repartition(batch: DataFrame, num_partitions: int, salt: int) -> DataFrame:
     return batch.repartition(
@@ -48,11 +86,8 @@ def salted_repartition(batch: DataFrame, num_partitions: int, salt: int) -> Data
 
 
 def make_fetch_fn(n_hosts: int, page_space: int):
-    """mapInPandas fetch+parse against the deterministic simnet.
-
-    Hot fields (status/err_type) are numpy-vectorized; span bodies are
-    materialized per ok-row (nested output — the genuinely non-columnar
-    part, same shape real HTML parsing would have)."""
+    """mapInPandas fetch+parse against the deterministic simnet —
+    all-numpy hot path, flat output columns only."""
 
     def fetch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         session = None  # per-partition session (cookie-jar analog, T5)
@@ -75,12 +110,19 @@ def make_fetch_fn(n_hosts: int, page_space: int):
             out["err_type"] = err
             ok = err == 0
             out["doc_id"] = np.where(ok, "doc:" + pdf["url"].astype(str), None)
-            spans = [
-                simnet.spans_of(int(hi), int(pi), n_hosts, page_space) if okk else None
-                for hi, pi, okk in zip(h, p, ok)
-            ]
-            out["spans"] = spans
-            yield out[[f.name for f in FETCH_RESULT.fields]]
+            flat = simnet.fetch_flat_np(h, p, n_hosts, page_space)
+            # canonicalize outlinks HERE, in the same worker: chaining a
+            # second pandas UDF after this stage would run 2 python workers
+            # per task and oversubscribe the executor ~2x (measured 10x
+            # wall-clock blowup at 32 cores) — one python stage per
+            # pipeline, everything after is JVM.
+            for c in ("link0", "link1", "link2"):
+                flat[c] = canon.canonicalize_series(
+                    pd.Series(flat[c]), bases=pdf["url"].reset_index(drop=True)
+                ).astype(object)
+            for col, vals in flat.items():
+                out[col] = vals
+            yield out
 
     return fetch_fn
 
@@ -93,4 +135,7 @@ def fetch_batch(
     salt: int = 8,
 ) -> DataFrame:
     salted = salted_repartition(batch.select(*_PASSTHROUGH), num_partitions, salt)
-    return salted.mapInPandas(make_fetch_fn(n_hosts, page_space), FETCH_RESULT)
+    raw = salted.mapInPandas(make_fetch_fn(n_hosts, page_space), _RAW_SCHEMA)
+    return raw.withColumn("spans", F.expr(_SPANS_EXPR)).select(
+        [f.name for f in FETCH_RESULT.fields]
+    )

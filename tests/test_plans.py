@@ -1,0 +1,100 @@
+"""Physical-plan quality gates: the optimizations Catalyst must be
+delivering (predicate pushdown, column pruning, broadcast joins,
+whole-stage codegen, TakeOrdered top-k).  A correct result computed with
+a wrong plan fails at 100 TB, so the plan IS part of correctness here."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["a5_group_stats"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0], (
+        "shipdate predicate must reach the parquet scan"
+    )
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema, "unused columns must be pruned from the scan"
+
+
+def test_small_dim_join_is_broadcast(spark):
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["j6_dim_lookup"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_takeordered_not_global_sort(spark):
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["w2_limit_dequeue"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_anti_join_dedup_present(spark):
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["j5_anti_seen"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """Map-side combine: partial aggregation must run below the exchange
+    (shuffles aggregated state, not raw rows — the property that matters
+    at 100 TB).  Codegen markers are hidden pre-execution under AQE, so
+    assert the plan shape instead."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["a5_group_stats"](spark, SF_DIR), mode="simple")
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange"), (
+        "partial agg must appear below the exchange in the plan tree"
+    )
+
+
+def test_dequeue_plan_shape(spark):
+    """The frontier dequeue: one shuffle by host for the rank, filters
+    applied below the window, and the hosts join broadcast."""
+    from pyspark.sql import functions as F
+
+    from spider_spark import synth
+    from spider_spark.frontier import dequeue
+    from spider_spark.politeness import eligible_hosts
+
+    seeds = synth.seed_list(spark, 10_000, 50, 100_000)
+    fr = seeds.select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        F.regexp_extract("url", r"^http://([^/]+)/", 1).alias("host"),
+        "priority",
+        F.lit(0).alias("depth"),
+        F.lit("pending").alias("state"),
+        F.lit(0).alias("retry_count"),
+        F.lit(0).cast("long").alias("next_fetch_time"),
+        F.lit(0).cast("long").alias("discovered_round"),
+    )
+    hosts = synth.hosts_config(spark, 50)
+    plan = _plan(dequeue(fr, eligible_hosts(hosts, None, 1), 1))
+    assert "BroadcastHashJoin" in plan, (
+        "hosts politeness join should broadcast, not shuffle the frontier"
+    )
+    assert "SortMergeJoin" not in plan
+    # exactly one window operator in the tree (formatted mode lists each
+    # node twice: tree + details)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
