@@ -1,0 +1,97 @@
+"""Catalog part 4: remaining crawl-shape operators with oracles —
+pagination fan-out (W3), month-window parameter generation used by the
+operator sweep, Bloom stats (rows-only), and lineage-style audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import _t, q
+
+
+@q(
+    "w3_page_expand",
+    """SELECT segment, page FROM (
+         SELECT c_mktsegment AS segment,
+                CAST(CEIL(COUNT(*) / 25.0) AS BIGINT) AS page_num
+         FROM customer GROUP BY c_mktsegment),
+       LATERAL (SELECT unnest(generate_series(1, page_num)) AS page)""",
+)
+def w3_page_expand(spark, sf_dir):
+    """W3 pagination scan: fetch page 1, derive page count, fan out pages
+    2..N (shixin_search.py:157-180; china_unicom.py:210-213) —
+    ``sequence + explode`` turns the page space into frontier rows."""
+    counts = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.ceil(F.count(F.lit(1)) / 25.0).cast("bigint").alias("page_num"))
+    )
+    return counts.select(
+        "segment", F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("page_num"))).alias("page")
+    )
+
+
+@q(
+    "w5b_last6_months",
+    """SELECT strftime(m_begin, '%Y-%m-%d') AS begin_date,
+              strftime(LEAST(m_begin + INTERVAL 1 MONTH - INTERVAL 1 DAY,
+                             TIMESTAMP '2001-08-01'), '%Y-%m-%d') AS end_date
+       FROM (SELECT unnest(generate_series(TIMESTAMP '2001-03-01', TIMESTAMP '2001-08-01',
+                                           INTERVAL 1 MONTH)) AS m_begin)""",
+)
+def w5b_last6_months(spark, sf_dir):
+    """W5 last-6-months [begin,end] window pairs, current window truncated
+    at 'today' (param_date.py:19-45, mobile_month.py:12-31) — the month
+    parameters the operator sweep fans out over."""
+    months = spark.sql(
+        """SELECT explode(sequence(to_timestamp('2001-03-01'), to_timestamp('2001-08-01'),
+                                   interval 1 month)) AS m_begin"""
+    )
+    end = F.least(
+        F.col("m_begin") + F.expr("INTERVAL 1 MONTH") - F.expr("INTERVAL 1 DAY"),
+        F.to_timestamp(F.lit("2001-08-01")),
+    )
+    return months.select(
+        F.date_format("m_begin", "yyyy-MM-dd").alias("begin_date"),
+        F.date_format(end, "yyyy-MM-dd").alias("end_date"),
+    )
+
+
+@q("c2_bloom_stats")  # rows-only: Bloom internals are not SQL-expressible
+def c2_bloom_stats(spark, sf_dir):
+    """Sharded-Bloom construction stats over the events id space: shard
+    fill ratios + membership sanity (the seen-filter side structure)."""
+    import pandas as pd
+
+    from .bloom import ShardedBloom
+
+    ids = _t(spark, sf_dir, "events").select(F.xxhash64(F.col("event_id")).alias("url_hash"))
+    b = ShardedBloom(n_shards=8, bits_per_shard=1 << 14, n_hashes=4)
+    b.update_from_df(spark, ids)
+    import numpy as np
+
+    rows = [
+        (
+            int(i),
+            float(np.unpackbits(b.shards[i].view(np.uint8)).mean()),
+        )
+        for i in range(b.n_shards)
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["shard", "fill_ratio"]))
+
+
+@q(
+    "a10_approx_distinct",
+    None,  # rows-only: HLL sketch values differ from exact COUNT DISTINCT
+)
+def a10_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL) — the metrics-path cardinality sketch
+    (distinct hosts per round, SURVEY.md §2.4 note); exactness gate lives
+    in tests (error < 5% vs exact)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )

@@ -56,7 +56,13 @@ class Crawler:
             F.lit(0).cast("long").alias("next_fetch_time"),
             F.lit(0).cast("long").alias("discovered_round"),
         ).select([f.name for f in FRONTIER.fields])
-        self.store.write("frontier", self.spark.createDataFrame([], FRONTIER).unionByName(frontier0))
+        # frontier is partitioned by state (Iceberg partition-spec analog):
+        # the dequeue scan of pending/retry rows prunes terminal files
+        self.store.write(
+            "frontier",
+            self.spark.createDataFrame([], FRONTIER).unionByName(frontier0),
+            partition_by=["state"],
+        )
         self.store.write("seen", frontier0.select("url_hash", "url"))
         self.store.write("hosts", hosts)
         self.store.write("host_state", self.spark.createDataFrame([], HOST_STATE))
@@ -120,7 +126,9 @@ class Crawler:
                 self.store.commit_round(r)
                 continue
             # MERGE-back (single-writer; each write is an atomic snapshot flip)
-            self.store.merge_upsert("frontier", out["frontier_updates"], key="url_hash")
+            self.store.merge_upsert(
+                "frontier", out["frontier_updates"], key="url_hash", partition_by=["state"]
+            )
             self.store.append("seen", out["seen_delta"])
             self.store.append("documents", out["documents"])
             self.store.merge_upsert("host_state", out["host_updates"], key="host")

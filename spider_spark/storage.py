@@ -67,18 +67,27 @@ class TableStore:
             raise FileNotFoundError(f"table {table} has no committed version")
         return self.spark.read.parquet(os.path.join(self._tdir(table), v))
 
-    def write(self, table: str, df: DataFrame) -> str:
-        """Write df as the next version and flip the pointer."""
+    def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
+        """Write df as the next version and flip the pointer.
+
+        ``partition_by`` is the Iceberg partition-spec analog: the frontier
+        is partitioned by ``state`` so a dequeue scan of pending/retry rows
+        prunes fetched/dead files entirely (at 10^10 rows the vast majority
+        of the frontier is terminal — pruning is the difference between
+        scanning the whole table and scanning the live slice)."""
         tdir = self._tdir(table)
         os.makedirs(tdir, exist_ok=True)
         cur = self.current_version(table)
         n = int(cur[1:]) + 1 if cur else 0
         v = f"v{n:05d}"
-        df.write.mode("overwrite").parquet(os.path.join(tdir, v))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(tdir, v))
         self._set_pointer(table, v)
         return v
 
-    def append(self, table: str, df: DataFrame) -> str:
+    def append(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
         """Iceberg-append analog: new snapshot = old data ∪ df.
 
         Emulation note: rewrites the table; real Iceberg appends only new
@@ -86,9 +95,11 @@ class TableStore:
         """
         if self.exists(table):
             df = self.read(table).unionByName(df)
-        return self.write(table, df)
+        return self.write(table, df, partition_by)
 
-    def merge_upsert(self, table: str, updates: DataFrame, key: str) -> str:
+    def merge_upsert(
+        self, table: str, updates: DataFrame, key: str, partition_by: list[str] | None = None
+    ) -> str:
         """MERGE INTO t USING updates ON t.key=u.key
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *.
 
@@ -101,7 +112,7 @@ class TableStore:
             merged = base.join(updates.select(key), on=key, how="left_anti").unionByName(updates)
         else:
             merged = updates
-        return self.write(table, merged)
+        return self.write(table, merged, partition_by)
 
     # ------------------------------------------------------------ manifests
     def commit_round(self, round_id: int, extra: dict | None = None) -> None:

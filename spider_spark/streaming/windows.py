@@ -93,3 +93,59 @@ def streaming_dedup(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stateful_running_counts(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    key: str = "event_type",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-key running totals carried in explicit GroupState — the streaming
+    twin of the per-host politeness/token state (T2/T5): the state schema
+    is exactly a hosts-bucket row (count so far, last seen timestamp).
+
+    Drained with availableNow; with static input the final state equals
+    the batch groupBy (verified in tests)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def update(key_tuple, pdfs, state: GroupState):
+        n = 0
+        total = 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        if state.exists:
+            prev_n, prev_total = state.get
+            n += prev_n
+            total += prev_total
+        state.update((n, total))
+        yield pd.DataFrame({key: [key_tuple[0]], "n": [n], "total": [round(total, 2)]})
+
+    out = (
+        stream.groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=f"{key} string, n long, total double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = _next_name("stateful")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{checkpoint_dir}/{name}")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

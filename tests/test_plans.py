@@ -98,3 +98,40 @@ def test_dequeue_plan_shape(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_frontier_state_partition_pruning(spark, tmp_path):
+    """The frontier table is written partitioned by state; the dequeue's
+    state filter must prune terminal partitions at the file level."""
+    from pyspark.sql import functions as F
+
+    from spider_spark import synth
+    from spider_spark.storage import TableStore
+
+    st = TableStore(spark, str(tmp_path))
+    seeds = synth.seed_list(spark, 2000, 20, 10_000)
+    fr = seeds.select(
+        "url",
+        F.lit("h0.example").alias("host"),
+        F.when(F.xxhash64("url") % 2 == 0, "pending").otherwise("fetched").alias("state"),
+    )
+    st.write("frontier", fr, partition_by=["state"])
+    scan = st.read("frontier").filter(F.col("state").isin("pending", "retry"))
+    plan = _plan(scan)
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "state" in pf, f"state filter must be a partition filter, got: {pf}"
+    assert scan.count() > 0
+    # and the directory layout really is one dir per state
+    import os
+
+    v = st.current_version("frontier")
+    dirs = {d for d in os.listdir(tmp_path / "frontier" / v) if d.startswith("state=")}
+    assert dirs == {"state=pending", "state=fetched"}
+
+
+def test_approx_distinct_close_to_exact(spark):
+    from spider_spark.catalog import QUERIES
+
+    r = QUERIES["a10_approx_distinct"](spark, SF_DIR).collect()[0]
+    err = abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"]
+    assert err < 0.05, f"HLL error too large: {err}"

@@ -41,3 +41,23 @@ def test_streaming_dedup_keeps_one_per_key(spark, tmp_path):
     assert got.select("user_id", "event_type").distinct().count() == got.count()
     # availableNow over one static batch: every key appears exactly once
     assert got.count() == n_keys
+
+
+def test_stateful_running_counts_match_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spider_spark.streaming.windows import stateful_running_counts
+
+    path = _events_dir(tmp_path)
+    got = stateful_running_counts(spark, path, str(tmp_path / "cp"))
+    # 'update' mode emits one row per key per micro-batch; the LAST row per
+    # key is the final state
+    final = {r["event_type"]: (r["n"], r["total"]) for r in got.collect()}
+    exp = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert final == exp
