@@ -18,7 +18,8 @@ SPARK_GRAFT_SCALING=0.
 Env knobs:
   SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     (default 32)
-  SPARK_GRAFT_FRONTIER (default 6_000_000 rows)
+  SPARK_GRAFT_FRONTIER (default 3_000_000 rows; scaling legs use
+                       SPARK_GRAFT_SCALE_FRONTIER, default 6_000_000)
   SPARK_GRAFT_SCALING  (default 1; 0 skips the two-level scaling run)
 """
 
@@ -173,12 +174,12 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def wave_subprocess(cores: int, n_rows: int, counts: str | None = None) -> dict:
+def wave_subprocess(cores: int, n_rows: int, counts: str | None = None, reps: int = 1) -> dict:
     """Run one frontier wave in a fresh JVM/process (sequential — running
     the two configs concurrently was tried and is UNFAIR here: when the
     shared VM throttles, the bigger config absorbs the contention)."""
     env = dict(os.environ, SPARK_GRAFT_WAVE_ONLY="1", SPARK_GRAFT_CPUS=str(cores),
-               SPARK_GRAFT_FRONTIER=str(n_rows))
+               SPARK_GRAFT_FRONTIER=str(n_rows), SPARK_GRAFT_REPS=str(reps))
     if counts:
         env["SPARK_GRAFT_COUNTS"] = counts
     res = subprocess.run(
@@ -193,7 +194,8 @@ def wave_subprocess(cores: int, n_rows: int, counts: str | None = None) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_frontier = int(os.environ.get("SPARK_GRAFT_FRONTIER", "6000000"))
+    n_frontier = int(os.environ.get("SPARK_GRAFT_FRONTIER", "3000000"))
+    scale_frontier = int(os.environ.get("SPARK_GRAFT_SCALE_FRONTIER", "6000000"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -225,11 +227,22 @@ def main():
         big = int(os.environ.get("SPARK_GRAFT_SCALE_BIG", "8"))
         thr = {}
         errs = {}
-        pre_counts = f"{wave['dequeued']},{wave['candidates']},{wave['new_urls']}"
+        # counts are input-determined; reusable only when the scaling legs
+        # run the same frontier size as the main wave
+        pre_counts = (
+            f"{wave['dequeued']},{wave['candidates']},{wave['new_urls']}"
+            if scale_frontier == n_frontier
+            else None
+        )
         for c in (big, small):  # big config first: fairer under throttling
             try:
                 log(f"bench: scaling run local[{c}] (fresh JVM)")
-                w = wave_subprocess(c, n_frontier, counts=pre_counts)
+                # the small leg is cheap when clean — best-of-2 smooths the
+                # interference the big leg cannot afford to wait out
+                w = wave_subprocess(c, scale_frontier, counts=pre_counts,
+                                    reps=2 if c == small else 1)
+                # the big leg's measured counts feed the small leg (same input)
+                pre_counts = f"{w['dequeued']},{w['candidates']},{w['new_urls']}"
                 thr[c] = w["urls_per_sec"]
                 log(f"  local[{c}]: {w['urls_per_sec']} urls/s ({w['wall_sec']}s)")
             except Exception as e:  # never lose the JSON line to a scaling hiccup

@@ -311,7 +311,7 @@ def a1_count_by_state(spark, sf_dir):
 @q(
     "a2_regex_extract_agg",
     """SELECT event_type, MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k,
-              SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k
+              CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
        FROM events WHERE props LIKE '%"k"%' GROUP BY event_type""",
 )
 def a2_regex_extract_agg(spark, sf_dir):

@@ -232,7 +232,10 @@ def d3_simhash_pairs(spark, sf_dir):
 
 @q(
     "d4_ngram_jaccard",
-    None,  # rows-only: DuckDB's jaccard() is character-set based, not n-gram
+    # ground-truth oracle: the pairs are planted exact copies, so the
+    # verification stage must return every pair at jaccard exactly 1.0
+    """SELECT doc_id AS id_a, CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+              1.0 AS jaccard FROM documents""",
 )
 def d4_ngram_jaccard(spark, sf_dir):
     """Exact 5-gram Jaccard on planted exact-copy pairs (verification

@@ -45,3 +45,27 @@ def test_spark_udf_and_hash(spark):
     assert row["u"] == "http://h3.example/p5"
     assert row["h"] == "h3.example"
     assert isinstance(row["hh"], int)
+
+
+def test_canonicalize_idempotent_property():
+    """Property: canonicalization is idempotent on arbitrary URL-ish
+    input (hypothesis fuzz) — a second pass never changes the result."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spider_spark.canon import canonicalize_series
+
+    url_ish = st.one_of(
+        st.from_regex(r"https?://[A-Za-z0-9.\-]{1,20}(:[0-9]{1,5})?(/[A-Za-z0-9./#?=&%]{0,30})?", fullmatch=True),
+        st.text(min_size=0, max_size=40),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(url_ish, min_size=1, max_size=20))
+    def check(urls):
+        once = canonicalize_series(pd.Series(urls, dtype="object"))
+        twice = canonicalize_series(once)
+        assert list(once.fillna("∅")) == list(twice.fillna("∅"))
+
+    check()
