@@ -70,7 +70,7 @@ def _canonicalize_slow(urls: pd.Series, bases: pd.Series | None = None) -> pd.Se
     rest = parts[2].fillna("")
     rest = rest.str.replace(r"#.*$", "", regex=True)       # strip fragment
     rest = rest.str.replace(r"/{2,}", "/", regex=True)     # collapse //
-    rest = rest.str.replace(r"\?$", "", regex=True)        # bare trailing ?
+    rest = rest.str.replace(r"\?+$", "", regex=True)       # trailing ?-run (empty query)
     rest = rest.str.replace(r"(.)/$", r"\1", regex=True)   # trailing / (non-root)
     host = parts[1].str.lower()
     scheme_lc = parts[0].str.lower()
