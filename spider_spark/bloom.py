@@ -110,13 +110,18 @@ class ShardedBloom:
 
 def bloom_prefilter(
     spark: SparkSession, candidates: DataFrame, bloom: ShardedBloom | None
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, object | None]:
     """Split candidates into (definitely_new, maybe_seen) on url_hash.
 
     definitely_new rows skip the exact anti-join; maybe_seen rows go to
-    the exact check.  With bloom=None everything is maybe_seen."""
+    the exact check.  With bloom=None everything is maybe_seen.
+
+    Also returns the shard-bitmap Broadcast (or None): the caller MUST
+    destroy it once the round's actions are done — a fresh broadcast per
+    round that is never destroyed leaks driver+executor memory over a
+    long crawl (ADVICE r1 #3)."""
     if bloom is None:
-        return candidates.limit(0), candidates
+        return candidates.limit(0), candidates, None
     bc = spark.sparkContext.broadcast(
         {"shards": bloom.shards, "n": bloom.n_shards, "m": bloom.m, "k": bloom.k}
     )
@@ -132,4 +137,5 @@ def bloom_prefilter(
     return (
         tagged.filter(~F.col("_maybe")).drop("_maybe"),
         tagged.filter(F.col("_maybe")).drop("_maybe"),
+        bc,
     )

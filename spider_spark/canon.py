@@ -57,11 +57,19 @@ def _canonicalize_slow(urls: pd.Series, bases: pd.Series | None = None) -> pd.Se
         # base origin = scheme://host[:port]
         origin = b.str.extract(r"^([a-z][a-z0-9+.-]*://[^/]+)", expand=False)
         scheme = b.str.extract(r"^([a-z][a-z0-9+.-]*):", expand=False)
+        # RFC 3986 merge: path-relative refs resolve against the base
+        # URL's DIRECTORY (base http://h/a/b + 'c' -> http://h/a/c), not
+        # the origin root.  basedir = base minus query/fragment, minus
+        # the last path segment, with a guaranteed trailing slash.
+        basedir = b.str.replace(r"[?#].*$", "", regex=True)
+        basedir = basedir.str.replace(r"^([a-z][a-z0-9+.-]*://[^/]+)$", r"\1/", regex=True)
+        basedir = basedir.str.replace(r"/[^/]*$", "/", regex=True)
+        basedir = basedir.where(origin.notna(), other=pd.NA)
         is_abs = s.str.contains(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", na=False)
         is_scheme_rel = s.str.startswith("//").fillna(False)
         is_root_rel = s.str.startswith("/").fillna(False) & ~is_scheme_rel
         s = s.where(is_abs | is_scheme_rel | is_root_rel | s.isna(),
-                    origin.fillna("") + "/" + s)          # path-relative
+                    basedir.fillna("") + s)               # path-relative
         s = s.where(~is_root_rel, origin.fillna("") + s)  # root-relative
         s = s.where(~is_scheme_rel, scheme.fillna("http") + ":" + s)
     # lowercase scheme + host (authority part only)

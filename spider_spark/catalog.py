@@ -434,11 +434,13 @@ def w2_limit_dequeue(spark, sf_dir):
 )
 def w4_stable_chunking(spark, sf_dir):
     """W4 order-preserving chunking: splitGroups(seq, step, n)
-    (shixin_spider.py:277-296) -> floor(row_number/step) batch ids."""
-    w = Window.orderBy("event_id")
+    (shixin_spider.py:277-296) -> floor(row_number/step) batch ids,
+    computed with the two-pass range-partitioned row_number (no
+    single-partition sort over the data — functions/chunking.py)."""
+    from .functions.chunking import stable_chunks
+
     return (
-        _t(spark, sf_dir, "events")
-        .select(F.floor((F.row_number().over(w) - 1) / 128).cast("bigint").alias("batch_id"))
+        stable_chunks(_t(spark, sf_dir, "events").select("event_id"), "event_id", 128)
         .groupBy("batch_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )

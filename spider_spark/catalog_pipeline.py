@@ -202,11 +202,19 @@ def d1_exact_dedup(spark, sf_dir):
     )
 
 
-@q("d2_minhash_lsh_pairs")  # rows-only: not SQL-expressible in DuckDB
+@q(
+    "d2_minhash_lsh_pairs",
+    # ground-truth oracle: restricted to the planted exact-copy offset the
+    # full signature→LSH→verify pipeline MUST recover every pair (identical
+    # text → identical signature → same bucket in every band) at exactly 1.0
+    """SELECT doc_id AS id_a, CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+              1.0 AS jaccard FROM documents""",
+)
 def d2_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs over documents ∪ (documents re-keyed):
-    every doc has an exact copy planted, so the pipeline must surface
-    ≥ n_docs pairs at jaccard 1.0.  Recall gate in tests/test_dedup.py."""
+    every doc has an exact copy planted; the catalog entry keeps the
+    planted-offset pairs so the result is deterministic ground truth.
+    Full-recall gate (unrestricted pairs) in tests/test_dedup.py."""
     from .functions.dedup import minhash_dedup
 
     d = _t(spark, sf_dir, "documents").select(
@@ -215,11 +223,20 @@ def d2_minhash_lsh_pairs(spark, sf_dir):
     planted = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     return minhash_dedup(
         d.unionByName(planted), num_perm=32, bands=8, k=5, threshold=0.8
-    )
+    ).filter((F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 1_000_000))
 
 
-@q("d3_simhash_pairs")  # rows-only
+@q(
+    "d3_simhash_pairs",
+    # ground-truth oracle: exact copies have identical simhash → hamming 0,
+    # and the 16-bit chunk blocking always surfaces an identical pair
+    """SELECT doc_id AS id_a, CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+              CAST(0 AS INTEGER) AS hamming FROM documents""",
+)
 def d3_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (JVM bit-majority signatures, chunk-blocked
+    candidates) restricted to the planted exact-copy offset for a
+    deterministic oracle; full near-pair behavior gated in tests."""
     from .functions.dedup import simhash_near_pairs, simhash_signatures
 
     d = _t(spark, sf_dir, "documents").select(
@@ -227,7 +244,9 @@ def d3_simhash_pairs(spark, sf_dir):
     )
     planted = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     sigs = simhash_signatures(d.unionByName(planted))
-    return simhash_near_pairs(sigs, max_hamming=3)
+    return simhash_near_pairs(sigs, max_hamming=3).filter(
+        (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 1_000_000)
+    )
 
 
 @q(

@@ -116,6 +116,8 @@ class Crawler:
                 # truly drained.
                 for df in out["_cached"]:
                     df.unpersist()
+                for b in out.get("_broadcasts", []):
+                    b.destroy()
                 remaining = (
                     self.store.read("frontier")
                     .filter(F.col("state").isin("pending", "retry"))
@@ -125,9 +127,18 @@ class Crawler:
                     break
                 self.store.commit_round(r)
                 continue
-            # MERGE-back (single-writer; each write is an atomic snapshot flip)
+            # MERGE-back (single-writer; each write is an atomic snapshot
+            # flip).  Terminal frontier partitions are immutable: fetched/
+            # dead rows are never re-dequeued, so the merge reads and
+            # rewrites ONLY the live pending/retry partitions and carries
+            # the terminal members forward by manifest reference —
+            # per-round cost stays O(live), not O(all-ever-crawled).
             self.store.merge_upsert(
-                "frontier", out["frontier_updates"], key="url_hash", partition_by=["state"]
+                "frontier",
+                out["frontier_updates"],
+                key="url_hash",
+                partition_by=["state"],
+                immutable_partitions=["fetched", "dead"],
             )
             self.store.append("seen", out["seen_delta"])
             self.store.append("documents", out["documents"])
@@ -139,6 +150,8 @@ class Crawler:
             self.store.expire_snapshots(keep=expire_keep)
             for df in out["_cached"]:
                 df.unpersist()
+            for b in out.get("_broadcasts", []):
+                b.destroy()
             results.append(res)
         hosts_df.unpersist()
         return results

@@ -111,7 +111,7 @@ def run_round(
     cand = politeness.robots_allowed(cand, hosts_df).cache()
     n_cand = cand.count()
 
-    definite_new, maybe_seen = bloom_mod.bloom_prefilter(spark, cand, bloom)
+    definite_new, maybe_seen, bloom_bc = bloom_mod.bloom_prefilter(spark, cand, bloom)
     checked_new = maybe_seen.join(seen_df.select("url_hash"), "url_hash", "left_anti")
     new_links = definite_new.unionByName(checked_new).cache()
 
@@ -173,5 +173,9 @@ def run_round(
         "host_updates": host_updates,
         "lineage": lineage,
         "_cached": [cand, new_links],
+        # round-scoped broadcasts: destroyed by the caller once the
+        # round's actions complete (never-destroyed per-round broadcasts
+        # leak driver+executor memory over a long crawl)
+        "_broadcasts": [b for b in [bloom_bc] if b is not None],
     }
     return res, out

@@ -5,17 +5,23 @@ expiry); this sandbox has no Iceberg runtime jar, so the same contract is
 emulated on plain parquet with a single-writer protocol (SURVEY.md §7
 "hard parts" (b)):
 
-- a table is a directory of immutable version snapshots ``v{N}/``,
+- a table version is a MANIFEST (``_manifests/v{N}.json``) listing
+  immutable member data paths (segments, or partition subdirs of
+  segments) — exactly Iceberg's snapshot = manifest-list design,
 - ``_CURRENT`` is a one-line pointer file, written atomically
   (write tmp + os.replace) — readers always see a complete snapshot,
-- MERGE = read current → anti-join/union → write next version → flip
-  pointer.  The crawl driver is the only writer, so this is serializable
-  by construction (the reference had the same property: one process,
-  shixin_spider.py's single crawl loop).
+- ``append`` writes ONLY the new rows as a fresh segment and links it
+  into the next manifest: per-round cost is O(delta), not O(table) —
+  the seen/documents/lineage tables never get rewritten,
+- partitioned MERGE rewrites only the LIVE partitions: terminal
+  partitions (fetched/dead frontier rows) are carried forward as
+  manifest references, never re-read or re-written,
 - per-round commit manifests (``rounds/round_{k}.json``) pin the version
   of every table at the end of a round; resume rolls every pointer back
   to the last complete manifest — exactly Iceberg snapshot-id pinning
-  (SURVEY.md §2.8 T1).
+  (SURVEY.md §2.8 T1).  Tables created after the pinned round (no entry
+  in the round manifest) get their pointer cleared so a crashed
+  half-round can never leak rows into the resumed run.
 
 On a real cluster this module swaps for Iceberg catalog calls 1:1 (the
 API is MERGE-shaped on purpose); nothing else in the engine changes.
@@ -26,8 +32,13 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 class TableStore:
@@ -44,6 +55,12 @@ class TableStore:
     def _pointer(self, table: str) -> str:
         return os.path.join(self._tdir(table), "_CURRENT")
 
+    def _mdir(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_manifests")
+
+    def _mpath(self, table: str, version: str) -> str:
+        return os.path.join(self._mdir(table), f"{version}.json")
+
     def current_version(self, table: str) -> str | None:
         try:
             with open(self._pointer(table)) as f:
@@ -57,62 +74,205 @@ class TableStore:
             f.write(version)
         os.replace(tmp, self._pointer(table))
 
+    def _clear_pointer(self, table: str) -> None:
+        try:
+            os.remove(self._pointer(table))
+        except FileNotFoundError:
+            pass
+
     def exists(self, table: str) -> bool:
         return self.current_version(table) is not None
 
-    # ------------------------------------------------------------ read/write
-    def read(self, table: str) -> DataFrame:
-        v = self.current_version(table)
+    # ------------------------------------------------------------ manifest io
+    def _manifest(self, table: str, version: str | None = None) -> dict:
+        v = version or self.current_version(table)
         if v is None:
             raise FileNotFoundError(f"table {table} has no committed version")
-        return self.spark.read.parquet(os.path.join(self._tdir(table), v))
+        with open(self._mpath(table, v)) as f:
+            return json.load(f)
 
-    def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
-        """Write df as the next version and flip the pointer.
+    def _write_manifest(self, table: str, version: str, manifest: dict) -> None:
+        os.makedirs(self._mdir(table), exist_ok=True)
+        tmp = self._mpath(table, version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._mpath(table, version))
 
-        ``partition_by`` is the Iceberg partition-spec analog: the frontier
-        is partitioned by ``state`` so a dequeue scan of pending/retry rows
-        prunes fetched/dead files entirely (at 10^10 rows the vast majority
-        of the frontier is terminal — pruning is the difference between
-        scanning the whole table and scanning the live slice)."""
-        tdir = self._tdir(table)
-        os.makedirs(tdir, exist_ok=True)
+    def _next_version(self, table: str) -> str:
         cur = self.current_version(table)
         n = int(cur[1:]) + 1 if cur else 0
-        v = f"v{n:05d}"
+        return f"v{n:05d}"
+
+    # ------------------------------------------------------------ segments
+    def _write_segment(
+        self, table: str, version: str, df: DataFrame, partition_by: list[str] | None
+    ) -> list[dict]:
+        """Write df as the immutable segment for `version`; return its
+        member records (one per partition subdir when partitioned)."""
+        if partition_by is not None and len(partition_by) != 1:
+            raise ValueError("only single-column partition specs are supported")
+        seg = f"seg{version[1:]}"
+        seg_path = os.path.join(self._tdir(table), seg)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(os.path.join(tdir, v))
-        self._set_pointer(table, v)
-        return v
+        writer.parquet(seg_path)
+        if not partition_by:
+            return [{"path": seg, "value": None}]
+        col = partition_by[0]
+        members = []
+        for d in sorted(os.listdir(seg_path)):
+            if d.startswith(f"{col}="):
+                raw = unquote(d[len(col) + 1 :])
+                members.append(
+                    {"path": f"{seg}/{d}", "value": None if raw == _HIVE_NULL else raw}
+                )
+        return members
+
+    def _commit_version(
+        self,
+        table: str,
+        version: str,
+        members: list[dict],
+        schema: StructType,
+        partition_col: str | None,
+    ) -> str:
+        self._write_manifest(
+            table,
+            version,
+            {
+                "members": members,
+                "schema": schema.json(),
+                "columns": [f.name for f in schema.fields],
+                "partition_col": partition_col,
+            },
+        )
+        self._set_pointer(table, version)
+        return version
+
+    # ------------------------------------------------------------ read
+    def read(self, table: str) -> DataFrame:
+        return self._read_members(table, self._manifest(table))
+
+    def _read_members(
+        self, table: str, manifest: dict, skip_values: set[str] | None = None
+    ) -> DataFrame:
+        """Assemble the table DataFrame from manifest members.
+
+        Partitioned members are read per partition value with the
+        partition column re-attached as a literal: a filter like
+        ``state IN ('pending','retry')`` constant-folds each union branch,
+        so terminal partitions are pruned at the MANIFEST level — their
+        files are never opened (the Iceberg partition-pruning analog).
+        """
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        cols = manifest["columns"]
+        pcol = manifest.get("partition_col")
+        members = manifest["members"]
+        if skip_values is not None:
+            members = [m for m in members if m["value"] not in skip_values]
+        tdir = self._tdir(table)
+        parts: list[DataFrame] = []
+        plain = [os.path.join(tdir, m["path"]) for m in members if m["value"] is None and pcol is None]
+        if plain:
+            parts.append(self.spark.read.schema(schema).parquet(*plain).select(cols))
+        if pcol is not None:
+            ptype = schema[pcol].dataType
+            data_schema = StructType([f for f in schema.fields if f.name != pcol])
+            by_value: dict[str | None, list[str]] = {}
+            for m in members:
+                by_value.setdefault(m["value"], []).append(os.path.join(tdir, m["path"]))
+            for value, paths in by_value.items():
+                parts.append(
+                    self.spark.read.schema(data_schema)
+                    .parquet(*paths)
+                    .withColumn(pcol, F.lit(value).cast(ptype))
+                    .select(cols)
+                )
+        if not parts:
+            return self.spark.createDataFrame([], schema).select(cols)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ------------------------------------------------------------ write paths
+    def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
+        """Full-snapshot write: one new segment is the whole table.
+
+        ``partition_by`` is the Iceberg partition-spec analog: the frontier
+        is partitioned by ``state`` so a dequeue scan of pending/retry rows
+        prunes fetched/dead members entirely (at 10^10 rows the vast
+        majority of the frontier is terminal — pruning is the difference
+        between scanning the whole table and scanning the live slice)."""
+        os.makedirs(self._tdir(table), exist_ok=True)
+        v = self._next_version(table)
+        members = self._write_segment(table, v, df, partition_by)
+        pcol = partition_by[0] if partition_by else None
+        return self._commit_version(table, v, members, df.schema, pcol)
 
     def append(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
-        """Iceberg-append analog: new snapshot = old data ∪ df.
-
-        Emulation note: rewrites the table; real Iceberg appends only new
-        files.  Kept append-shaped so the swap is mechanical.
-        """
-        if self.exists(table):
-            df = self.read(table).unionByName(df)
-        return self.write(table, df, partition_by)
+        """Iceberg-append analog: write ONLY df as a new segment and link
+        it into the next manifest — O(delta) I/O per append, the existing
+        members are untouched (round 1 rewrote the whole table here;
+        VERDICT r1 #4)."""
+        if not self.exists(table):
+            return self.write(table, df, partition_by)
+        prev = self._manifest(table)
+        pcol = prev.get("partition_col")
+        if partition_by and partition_by[0] != pcol:
+            raise ValueError(f"append partition spec {partition_by} != table spec {pcol}")
+        v = self._next_version(table)
+        new_members = self._write_segment(table, v, df, [pcol] if pcol else None)
+        schema = StructType.fromJson(json.loads(prev["schema"]))
+        return self._commit_version(table, v, prev["members"] + new_members, schema, pcol)
 
     def merge_upsert(
-        self, table: str, updates: DataFrame, key: str, partition_by: list[str] | None = None
+        self,
+        table: str,
+        updates: DataFrame,
+        key: str,
+        partition_by: list[str] | None = None,
+        immutable_partitions: list[str] | None = None,
+        delete_keys: DataFrame | None = None,
     ) -> str:
         """MERGE INTO t USING updates ON t.key=u.key
-        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *.
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        [WHEN MATCHED (key IN delete_keys) THEN DELETE].
 
         Replaces the reference's IntegrityError-driven upsert loop
-        (db_config.py:46-54) and destructive retry-queue dequeue
-        (shixin_python_sql.py:27-33) with one atomic snapshot swap.
-        """
-        if self.exists(table):
-            base = self.read(table)
-            merged = base.join(updates.select(key), on=key, how="left_anti").unionByName(updates)
-        else:
+        (db_config.py:46-54), destructive retry-queue dequeue
+        (shixin_python_sql.py:27-33), and resolved-error delete
+        (deleteErrItems, shixin_python_sql.py:80-94) with one atomic
+        snapshot swap.
+
+        ``immutable_partitions``: partition values the caller guarantees
+        contain no matched keys (frontier terminal states — fetched/dead
+        rows are never re-dequeued, so never updated).  Those members are
+        carried into the new manifest by REFERENCE: only live partitions
+        are read, merged, and rewritten — O(live+delta), not O(table).
+        Updates may still INSERT rows whose partition value is terminal
+        (a pending row transitioning to fetched lands in the new
+        segment's fetched subdir)."""
+        if not self.exists(table):
             merged = updates
-        return self.write(table, merged, partition_by)
+            if delete_keys is not None:
+                merged = merged.join(delete_keys.select(key), on=key, how="left_anti")
+            return self.write(table, merged, partition_by)
+        prev = self._manifest(table)
+        pcol = prev.get("partition_col")
+        immutable = set(immutable_partitions or [])
+        if immutable and pcol is None:
+            raise ValueError("immutable_partitions requires a partitioned table")
+        base = self._read_members(table, prev, skip_values=immutable or None)
+        merged = base.join(updates.select(key), on=key, how="left_anti").unionByName(updates)
+        if delete_keys is not None:
+            merged = merged.join(delete_keys.select(key), on=key, how="left_anti")
+        v = self._next_version(table)
+        new_members = self._write_segment(table, v, merged, [pcol] if pcol else None)
+        kept = [m for m in prev["members"] if m["value"] in immutable]
+        schema = StructType.fromJson(json.loads(prev["schema"]))
+        return self._commit_version(table, v, kept + new_members, schema, pcol)
 
     # ------------------------------------------------------------ manifests
     def commit_round(self, round_id: int, extra: dict | None = None) -> None:
@@ -144,8 +304,11 @@ class TableStore:
         """Roll every table pointer back to the last complete manifest.
 
         Versions written after the manifest (a crashed half-round) become
-        unreachable — the resume-from-checkpoint semantics of T1.
-        """
+        unreachable — the resume-from-checkpoint semantics of T1.  A table
+        with NO entry in the manifest was first created during the crashed
+        round: its pointer is cleared entirely, otherwise the resumed
+        round would re-append onto the half-written version and duplicate
+        rows (ADVICE r1 #2)."""
         rid = self.last_committed_round()
         if rid is None:
             return None
@@ -153,17 +316,55 @@ class TableStore:
             manifest = json.load(f)
         for t, v in manifest["tables"].items():
             self._set_pointer(t, v)
+        for t in os.listdir(self.root):
+            if (
+                t != "rounds"
+                and os.path.isdir(self._tdir(t))
+                and t not in manifest["tables"]
+            ):
+                self._clear_pointer(t)
         return rid
 
     def expire_snapshots(self, keep: int = 2) -> None:
         """Iceberg snapshot-expiry analog: drop all but the newest `keep`
-        versions of each table (never the current one)."""
+        manifests of each table (never the current one), then delete any
+        segment data no surviving manifest references."""
         for t in os.listdir(self.root):
             tdir = self._tdir(t)
-            if t == "rounds" or not os.path.isdir(tdir):
+            if t == "rounds" or not os.path.isdir(tdir) or not os.path.isdir(self._mdir(t)):
                 continue
             cur = self.current_version(t)
-            versions = sorted(d for d in os.listdir(tdir) if d.startswith("v"))
-            for v in versions[:-keep]:
-                if v != cur:
-                    shutil.rmtree(os.path.join(tdir, v), ignore_errors=True)
+            versions = sorted(
+                f[:-5] for f in os.listdir(self._mdir(t)) if f.endswith(".json")
+            )
+            kept = set(versions[-keep:])
+            if cur:
+                kept.add(cur)
+            referenced: set[str] = set()
+            for v in kept:
+                try:
+                    for m in self._manifest(t, v)["members"]:
+                        referenced.add(m["path"])
+                except FileNotFoundError:
+                    pass
+            for v in versions:
+                if v not in kept:
+                    try:
+                        os.remove(self._mpath(t, v))
+                    except FileNotFoundError:
+                        pass
+            for seg in os.listdir(tdir):
+                seg_path = os.path.join(tdir, seg)
+                if not seg.startswith("seg") or not os.path.isdir(seg_path):
+                    continue
+                if seg in referenced:
+                    continue
+                subdirs = [d for d in os.listdir(seg_path) if "=" in d]
+                if not subdirs:
+                    shutil.rmtree(seg_path, ignore_errors=True)
+                    continue
+                for d in subdirs:
+                    if f"{seg}/{d}" not in referenced:
+                        shutil.rmtree(os.path.join(seg_path, d), ignore_errors=True)
+                if not any("=" in d for d in os.listdir(seg_path)):
+                    shutil.rmtree(seg_path, ignore_errors=True)

@@ -40,7 +40,7 @@ def test_prefilter_is_only_an_optimization(spark):
     b = ShardedBloom(n_shards=4, bits_per_shard=1 << 12, n_hashes=3)
     b.update_from_df(spark, seen)
 
-    definite_new, maybe_seen = bloom_prefilter(spark, cand, b)
+    definite_new, maybe_seen, _bc = bloom_prefilter(spark, cand, b)
     new_with = {
         r["url_hash"]
         for r in definite_new.unionByName(

@@ -31,6 +31,27 @@ def test_relative_resolution():
     assert out[3] == "http://abs.example/p2"
 
 
+def test_path_relative_resolves_against_base_directory():
+    """RFC 3986 merge (ADVICE r1 #4): path-relative refs join the base
+    DIRECTORY, not the origin root."""
+    urls = pd.Series(["c", "c", "c", "c", "/x"])
+    bases = pd.Series(
+        [
+            "http://h/a/b",       # dir = /a/
+            "http://h/a/b/",      # dir = /a/b/
+            "http://h",           # dir = /
+            "http://h/a?q=1#f",   # query/fragment stripped first -> dir = /
+            "http://h/a/b",       # root-relative ignores the dir
+        ]
+    )
+    out = canonicalize_series(urls, bases).tolist()
+    assert out[0] == "http://h/a/c"
+    assert out[1] == "http://h/a/b/c"
+    assert out[2] == "http://h/c"
+    assert out[3] == "http://h/c"
+    assert out[4] == "http://h/x"
+
+
 def test_spark_udf_and_hash(spark):
     from pyspark.sql import functions as F
 

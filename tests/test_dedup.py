@@ -9,6 +9,16 @@ from pyspark.sql import functions as F
 SF_DIR = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(scope="module", autouse=True)
+def ansi_on(spark):
+    """Dedup math must be exact under the driver's ANSI-on session — the
+    round-1 MinHash overflow only surfaced there (VERDICT r1 #1)."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield
+    spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     return (
@@ -68,3 +78,43 @@ def test_jaccard_verify_exact_copy_is_one(spark, docs, with_copies):
     out = jaccard_verify(with_copies, pairs, threshold=0.99)
     assert out.count() == docs.count()
     assert out.filter("jaccard < 1.0").count() == 0
+
+
+def test_hot_bucket_cap_bounds_pairs(spark):
+    """All-identical corpus: every band maps every doc to ONE bucket.
+    Uncapped that is n² pairs; the cap must bound it and the stats must
+    account for every dropped member (VERDICT r1 #8)."""
+    from spider_spark.functions.dedup import (
+        lsh_bucket_stats,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    n, cap, bands = 200, 16, 4
+    same = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text, repeated everywhere").alias("text"),
+    )
+    sigs = minhash_signatures(same, num_perm=16, k=5).cache()
+    pairs = lsh_candidate_pairs(sigs, bands=bands, max_bucket_size=cap)
+    # identical sigs -> the same cap lowest ids survive in every band
+    assert pairs.count() == cap * (cap - 1) // 2
+    dropped = (
+        lsh_bucket_stats(sigs, bands=bands, max_bucket_size=cap)
+        .agg(F.sum("dropped").alias("d"))
+        .first()["d"]
+    )
+    assert dropped == bands * (n - cap)
+    sigs.unpersist()
+
+
+def test_simhash_hot_chunk_cap(spark):
+    from spider_spark.functions.dedup import simhash_near_pairs, simhash_signatures
+
+    n, cap = 100, 8
+    same = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("identical identical identical").alias("text")
+    )
+    sigs = simhash_signatures(same)
+    pairs = simhash_near_pairs(sigs, max_hamming=0, max_bucket_size=cap)
+    assert pairs.count() == cap * (cap - 1) // 2

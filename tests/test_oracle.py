@@ -16,6 +16,17 @@ TABLES = [
 ]
 
 
+@pytest.fixture(scope="module", autouse=True)
+def ansi_on(spark):
+    """The driver gate runs Spark 4 defaults (ANSI on); round 1 shipped a
+    driver-only ARITHMETIC_OVERFLOW the ANSI-off local session could not
+    see (VERDICT r1 #2).  Mirror the driver's semantics for this module."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield
+    spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 @pytest.fixture(scope="module")
 def ddb():
     con = duckdb.connect()

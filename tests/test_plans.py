@@ -118,14 +118,19 @@ def test_frontier_state_partition_pruning(spark, tmp_path):
     st.write("frontier", fr, partition_by=["state"])
     scan = st.read("frontier").filter(F.col("state").isin("pending", "retry"))
     plan = _plan(scan)
-    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
-    assert "state" in pf, f"state filter must be a partition filter, got: {pf}"
+    # manifest-level pruning (stronger than file-level PartitionFilters):
+    # each member is read with its state as a literal, so the filter
+    # constant-folds terminal branches out of the plan entirely — the
+    # fetched member's files are never even listed in the scan.
+    assert "state=fetched" not in plan, "terminal members must be pruned from the plan"
+    assert "state=pending" in plan, f"live member scan missing from plan: {plan[:2000]}"
     assert scan.count() > 0
-    # and the directory layout really is one dir per state
+    # and the directory layout really is one member dir per state
     import os
 
     v = st.current_version("frontier")
-    dirs = {d for d in os.listdir(tmp_path / "frontier" / v) if d.startswith("state=")}
+    seg = f"seg{v[1:]}"
+    dirs = {d for d in os.listdir(tmp_path / "frontier" / seg) if d.startswith("state=")}
     assert dirs == {"state=pending", "state=fetched"}
 
 
@@ -135,3 +140,18 @@ def test_approx_distinct_close_to_exact(spark):
     r = QUERIES["a10_approx_distinct"](spark, SF_DIR).collect()[0]
     err = abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"]
     assert err < 0.05, f"HLL error too large: {err}"
+
+
+def test_w4_chunking_has_no_single_partition_data_sort(spark):
+    """VERDICT r1 #3: w4 formerly funneled every event row through ONE
+    partition for row_number.  The two-pass plan must (a) range-partition
+    the data, (b) run the data-side window partitioned by _pid; the only
+    SinglePartition exchange allowed is over the tiny per-partition
+    counts aggregate."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["w4_stable_chunking"](spark, SF_DIR), mode="simple")
+    assert "rangepartitioning" in plan, "data must be range-partitioned for the local sort"
+    assert "windowspecdefinition(_pid" in plan, (
+        "data-side row_number window must be partitioned by _pid"
+    )

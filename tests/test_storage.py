@@ -38,3 +38,91 @@ def test_expire_snapshots_keeps_current(spark, tmp_path):
         st.write("t", spark.createDataFrame([(i,)], ["k"]))
     st.expire_snapshots(keep=2)
     assert st.read("t").collect()[0]["k"] == 4
+
+
+def _data_bytes(path):
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        if "_manifests" in root:
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def test_append_writes_only_delta(spark, tmp_path):
+    """Iceberg-append semantics (VERDICT r1 #4): appending k rows to a
+    large table must write O(k) bytes, not rewrite the table."""
+    st = TableStore(spark, str(tmp_path))
+    big = spark.range(200_000).selectExpr("id AS k", "repeat('x', 64) AS v")
+    st.write("t", big)
+    before = _data_bytes(tmp_path / "t")
+    st.append("t", spark.createDataFrame([(10**9, "tiny")], ["k", "v"]))
+    delta = _data_bytes(tmp_path / "t") - before
+    assert st.read("t").count() == 200_001
+    assert delta < before * 0.05, f"append rewrote the table: +{delta}B on {before}B"
+
+
+def test_partitioned_merge_leaves_immutable_partitions_untouched(spark, tmp_path):
+    """Partition-level MERGE: terminal partitions are carried by manifest
+    reference — their files are not rewritten and their rows survive."""
+    import os
+
+    st = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, "pending"), (2, "pending"), (3, "fetched"), (4, "dead")], ["k", "state"]
+    )
+    st.write("t", df, partition_by=["state"])
+    seg0 = f"seg{st.current_version('t')[1:]}"
+    fetched_dir = tmp_path / "t" / seg0 / "state=fetched"
+    mtime_before = max(
+        os.path.getmtime(os.path.join(fetched_dir, f)) for f in os.listdir(fetched_dir)
+    )
+    # k=1 transitions pending->fetched, k=5 inserted pending
+    updates = spark.createDataFrame([(1, "fetched"), (5, "pending")], ["k", "state"])
+    st.merge_upsert(
+        "t", updates, key="k", partition_by=["state"],
+        immutable_partitions=["fetched", "dead"],
+    )
+    rows = {r["k"]: r["state"] for r in st.read("t").collect()}
+    assert rows == {1: "fetched", 2: "pending", 3: "fetched", 4: "dead", 5: "pending"}
+    mtime_after = max(
+        os.path.getmtime(os.path.join(fetched_dir, f)) for f in os.listdir(fetched_dir)
+    )
+    assert mtime_after == mtime_before, "immutable partition files were rewritten"
+
+
+def test_merge_delete_branch(spark, tmp_path):
+    """S9 WHEN MATCHED THEN DELETE (deleteErrItems,
+    shixin_python_sql.py:80-94): resolved keys are removed in the same
+    atomic snapshot swap as the upsert."""
+    st = TableStore(spark, str(tmp_path))
+    st.write("t", spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"]))
+    st.merge_upsert(
+        "t",
+        spark.createDataFrame([(2, "B")], ["k", "v"]),
+        key="k",
+        delete_keys=spark.createDataFrame([(3,)], ["k"]),
+    )
+    rows = {r["k"]: r["v"] for r in st.read("t").collect()}
+    assert rows == {1: "a", 2: "B"}
+
+
+def test_restore_clears_tables_created_after_manifest(spark, tmp_path):
+    """ADVICE r1 #2: a table first created during a crashed round must not
+    keep its half-written version after restore — otherwise the resumed
+    round re-appends onto it and duplicates rows."""
+    st = TableStore(spark, str(tmp_path))
+    st.write("t", spark.createDataFrame([(1,)], ["k"]))
+    st.commit_round(1)
+    # crashed round 2 creates a brand-new table, then dies pre-commit
+    st.write("docs", spark.createDataFrame([(1,), (2,)], ["k"]))
+    rid = st.restore_last_committed()
+    assert rid == 1
+    assert not st.exists("docs"), "half-written new table must be rolled back"
+    # the re-run round recreates it from scratch -> no duplicated rows
+    st.append("docs", spark.createDataFrame([(1,), (2,)], ["k"]))
+    assert st.read("docs").count() == 2
