@@ -579,3 +579,4 @@ def f13_substring(spark, sf_dir):
 from . import catalog_pipeline  # noqa: E402,F401  (registration side-effect)
 from . import catalog_extra  # noqa: E402,F401  (registration side-effect)
 from . import catalog_crawl  # noqa: E402,F401  (registration side-effect)
+from . import catalog_records  # noqa: E402,F401  (registration side-effect)

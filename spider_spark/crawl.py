@@ -156,6 +156,51 @@ class Crawler:
         hosts_df.unpersist()
         return results
 
+    # ------------------------------------------------------------ audit (T6)
+    def audit_lost(self, expected: DataFrame, priority: int = 0) -> int:
+        """Lost-ID reconciliation sweep (errLostAPI shixin_spider.py:401-423):
+        URLs in the expected universe that were never seen — dropped by a
+        crash, a blocked batch, an over-eager filter — are re-enqueued as
+        pending.  One anti-join vs the seen table, MERGE-back, done; run
+        it every N rounds or after a resume.
+
+        Safe with the partition-level frontier merge: lost keys are by
+        definition absent from seen ⊇ all frontier keys, so they can
+        never reside in a terminal partition."""
+        exp = expected.select(canon.canonicalize_udf(F.col("url")).alias("url")).distinct()
+        exp = exp.select(
+            "url",
+            canon.url_hash_col(F.col("url")).alias("url_hash"),
+            canon.host_col(F.col("url")).alias("host"),
+        )
+        lost = exp.join(
+            self.store.read("seen").select("url_hash"), "url_hash", "left_anti"
+        ).cache()
+        n_lost = lost.count()
+        if n_lost:
+            rid = (self.store.last_committed_round() or 0) + 1
+            rows = lost.select(
+                "url",
+                "url_hash",
+                "host",
+                F.lit(priority).alias("priority"),
+                F.lit(0).alias("depth"),
+                F.lit("pending").alias("state"),
+                F.lit(0).alias("retry_count"),
+                F.lit(0).cast("long").alias("next_fetch_time"),
+                F.lit(rid).cast("long").alias("discovered_round"),
+            ).select([f.name for f in FRONTIER.fields])
+            self.store.merge_upsert(
+                "frontier", rows, key="url_hash", partition_by=["state"],
+                immutable_partitions=["fetched", "dead"],
+            )
+            self.store.append("seen", lost.select("url_hash", "url"))
+            if self.bloom is not None:
+                self.bloom.update_from_df(self.spark, lost.select("url_hash"))
+            self.store.commit_round(rid, extra={"audit": n_lost})
+        lost.unpersist()
+        return n_lost
+
     # ------------------------------------------------------------ views
     def seen_urls(self) -> set[str]:
         return {r["url"] for r in self.store.read("seen").select("url").collect()}

@@ -85,9 +85,14 @@ def salted_repartition(batch: DataFrame, num_partitions: int, salt: int) -> Data
     )
 
 
-def make_fetch_fn(n_hosts: int, page_space: int):
+def make_fetch_fn(n_hosts: int, page_space: int, keep_body: bool = False):
     """mapInPandas fetch+parse against the deterministic simnet —
-    all-numpy hot path, flat output columns only."""
+    all-numpy hot path, flat output columns only.
+
+    ``keep_body``: S14 raw-body retention (credit_person_web.py:234-249
+    saves response HTML for later re-parse) — emit the rendered page HTML
+    as a ``body`` column so a parser fix can re-run over old crawls
+    without re-fetching.  Off by default: bodies dominate storage."""
 
     def fetch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         session = None  # per-partition session (cookie-jar analog, T5)
@@ -122,6 +127,10 @@ def make_fetch_fn(n_hosts: int, page_space: int):
                 ).astype(object)
             for col, vals in flat.items():
                 out[col] = vals
+            if keep_body:
+                # rendered AFTER link canonicalization so re-parsing the
+                # body reproduces the span sequence exactly
+                out["body"] = np.where(ok, simnet.render_html_np(flat), None)
             yield out
 
     return fetch_fn
@@ -133,9 +142,10 @@ def fetch_batch(
     page_space: int,
     num_partitions: int = 32,
     salt: int = 8,
+    keep_body: bool = False,
 ) -> DataFrame:
     salted = salted_repartition(batch.select(*_PASSTHROUGH), num_partitions, salt)
-    raw = salted.mapInPandas(make_fetch_fn(n_hosts, page_space), _RAW_SCHEMA)
-    return raw.withColumn("spans", F.expr(_SPANS_EXPR)).select(
-        [f.name for f in FETCH_RESULT.fields]
-    )
+    schema = _RAW_SCHEMA + (", body string" if keep_body else "")
+    raw = salted.mapInPandas(make_fetch_fn(n_hosts, page_space, keep_body), schema)
+    out_cols = [f.name for f in FETCH_RESULT.fields] + (["body"] if keep_body else [])
+    return raw.withColumn("spans", F.expr(_SPANS_EXPR)).select(out_cols)

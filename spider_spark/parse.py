@@ -93,3 +93,48 @@ def span_invariant_violations(docs: DataFrame) -> DataFrame:
         "slice(transform(spans, s -> s.offset), 2, size(spans)-1), (a,b) -> b > a), x -> x)"
     )
     return docs.filter(F.size("spans") > 1).withColumn("_offs", offs).filter(~F.coalesce(ok, F.lit(True)))
+
+
+# ---------------------------------------------------------------- tables
+# Table-structure extraction (F3's missing half, VERDICT r1): the
+# reference's positional XPath harvest — "table 7, tbody rows 3..-1"
+# (credit_report/claw_report.py:14-58) — needs tables as indexed
+# row/cell structure, not a flat span stream.  Documented subset:
+# non-nested tables, <td>/<th> cells, tags inside cells stripped.
+
+_TABLE_RE = re.compile(r"<table[^>]*>(.*?)</table>", re.IGNORECASE | re.DOTALL)
+_TR_RE = re.compile(r"<tr[^>]*>(.*?)</tr>", re.IGNORECASE | re.DOTALL)
+_CELL_RE = re.compile(r"<t[dh][^>]*>(.*?)</t[dh]>", re.IGNORECASE | re.DOTALL)
+_ANYTAG_RE = re.compile(r"<[^>]+>")
+
+TABLE_ROW_DDL = "array<struct<table_idx:int,row_idx:int,cells:array<string>>>"
+
+
+def html_to_table_rows(html: str) -> list[dict]:
+    """One HTML body -> [(table_idx, row_idx, cells)] in document order."""
+    rows: list[dict] = []
+    if not html:
+        return rows
+    for ti, tm in enumerate(_TABLE_RE.finditer(html)):
+        for ri, rm in enumerate(_TR_RE.finditer(tm.group(1))):
+            cells = [
+                re.sub(r"\s+", " ", _ANYTAG_RE.sub("", c.group(1))).strip()
+                for c in _CELL_RE.finditer(rm.group(1))
+            ]
+            rows.append({"table_idx": ti, "row_idx": ri, "cells": cells})
+    return rows
+
+
+def _html_to_table_rows_vec(bodies: pd.Series) -> pd.Series:
+    return bodies.map(lambda b: html_to_table_rows(b) if isinstance(b, str) else [])
+
+
+def html_table_rows_udf(body: "F.Column") -> "F.Column":
+    return pandas_udf(_html_to_table_rows_vec, TABLE_ROW_DDL)(body)
+
+
+def html_list_items(body: "F.Column") -> "F.Column":
+    """<li> item texts — pure JVM (regexp_extract_all), no UDF.
+    Reference analog: the <ol class="p olstyle">/li credit-card lines
+    (claw_report.py:62-69)."""
+    return F.regexp_extract_all(body, F.lit(r"(?si)<li[^>]*>(.*?)</li>"), 1)

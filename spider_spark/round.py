@@ -36,6 +36,9 @@ class CrawlConfig:
     # link canonicalization happens inside the fetch stage (fetch.py) —
     # kept as a flag only to document the contract
     canonicalize_links: bool = True
+    # S14 raw-body retention: keep the response HTML on each document row
+    # so parsers can re-run over old crawls (credit_person_web.py:234-249)
+    keep_raw_body: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -82,13 +85,19 @@ def run_round(
 
     results = materialize(
         "_round_results",
-        fetch.fetch_batch(batch, cfg.n_hosts, cfg.page_space, cfg.fetch_partitions, cfg.salt),
+        fetch.fetch_batch(
+            batch, cfg.n_hosts, cfg.page_space, cfg.fetch_partitions, cfg.salt,
+            keep_body=cfg.keep_raw_body,
+        ),
     )
 
     # ---- documents (interleaved spans) for ok fetches
     ok = results.filter(F.col("err_type") == 0)
+    doc_cols = ["doc_id", "spans", "url", "host"] + (
+        ["body"] if cfg.keep_raw_body else []
+    )
     docs = ok.select(
-        "doc_id", "spans", "url", "host", F.lit(round_id).cast("long").alias("fetch_round")
+        *doc_cols, F.lit(round_id).cast("long").alias("fetch_round")
     )
 
     # ---- link extraction -> robots -> dedup vs seen.  Links come out of

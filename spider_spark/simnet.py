@@ -229,3 +229,45 @@ def fetch_flat_np(h: np.ndarray, p: np.ndarray, n_hosts: int, page_space: int) -
         "link1": _s(links[1]),
         "link2": _s(links[2]),
     }
+
+
+def render_html_np(flat: dict) -> pd.Series:
+    """Deterministic raw HTML body from the flat page fields (S14 raw-body
+    retention, credit_person_web.py:234-249 analog).
+
+    The markup is the exact inverse of parse.html_to_spans: scanning the
+    rendered body yields the same interleaved span sequence the JVM
+    assembles from the flat columns (anchor texts are empty so no stray
+    text spans appear).  Arrow binary_join_element_wise/if_else — single
+    C passes, no per-row Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    empty = pa.scalar("", pa.string())
+    j = pc.binary_join_element_wise
+    media = pc.if_else(
+        pa.array(flat["has_media"]),
+        j('<img src="', pa.array(flat["media_ref"], pa.string()), '">', ""),
+        empty,
+    )
+    text2 = pc.if_else(
+        pa.array(flat["has_text2"]),
+        j("<p>", pa.array(flat["text2"], pa.string()), "</p>", ""),
+        empty,
+    )
+    n_links = np.asarray(flat["n_links"])
+    anchors = [
+        pc.if_else(
+            pa.array(n_links > k),
+            j('<a href="', pa.array(flat[f"link{k}"], pa.string()), '"></a>', ""),
+            empty,
+        )
+        for k in range(3)
+    ]
+    body = j(
+        "<html><head><title>", pa.array(flat["title"], pa.string()),
+        "</title></head><body><p>", pa.array(flat["text1"], pa.string()), "</p>",
+        media, text2, anchors[0], anchors[1], anchors[2],
+        "</body></html>", "",
+    )
+    return body.to_pandas()
