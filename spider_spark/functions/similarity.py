@@ -75,6 +75,31 @@ def lsh_signature_udf(vec: Column, dim: int, n_planes: int = 16, seed: int = 42)
     return pandas_udf(sig, "long")(vec)
 
 
+def build_lsh_index(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """The precomputed ANN index: (id, vec, sig).  Build ONCE, persist it
+    (TableStore.write / parquet bucketed on ``sig``), and serve every
+    query from it — signatures are never recomputed per query.  The
+    signature UDF is the only Python stage and it runs at index-build
+    time, off the query path."""
+    return df.select(
+        id_col, vec_col, lsh_signature_udf(F.col(vec_col), dim, n_planes, seed).alias("sig")
+    )
+
+
+def query_signature(query_vec: list[float], n_planes: int = 12, seed: int = 42) -> int:
+    """Driver-side signature of a query vector (numpy, no Spark job)."""
+    q = np.array(query_vec, dtype=np.float64)
+    bits = (_planes(len(query_vec), n_planes, seed) @ q) > 0
+    return int(bits.astype(np.int64) @ (1 << np.arange(n_planes, dtype=np.int64)))
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -84,18 +109,48 @@ def ann_lsh_topk(
     n_planes: int = 12,
     seed: int = 42,
     probe_hamming: int = 1,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """ANN: restrict the exact rerank to vectors whose hyperplane signature
     is within `probe_hamming` bits of the query's (multi-probe LSH).
 
-    Scale path: the bucketed table is precomputed once (signature column +
-    optional bucketing on it); each query scans only matching buckets."""
-    dim = len(query_vec)
-    sigs = df.select(id_col, vec_col, lsh_signature_udf(F.col(vec_col), dim, n_planes, seed).alias("sig"))
-    q = np.array(query_vec, dtype=np.float64)
-    qsig = int(((_planes(dim, n_planes, seed) @ q) > 0).astype(np.int64) @ (1 << np.arange(n_planes, dtype=np.int64)))
-    cand = sigs.filter(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming)
+    Pass ``index`` (a persisted build_lsh_index output) to serve the
+    query entirely JVM-side: signature-filter + exact rerank, no UDF."""
+    if index is None:
+        index = build_lsh_index(df, len(query_vec), id_col, vec_col, n_planes, seed)
+    qsig = query_signature(query_vec, n_planes, seed)
+    cand = index.filter(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    sample_n: int = 10_000,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means on a BOUNDED sample (collect ≤ sample_n vectors,
+    train driver-side in numpy).  At 100 TB the sample stays 10k rows —
+    training cost is constant while cell quality reflects the real data
+    distribution, unlike the round-1 random pseudo-centroids.  Empty
+    cells keep their previous centroid (classic k-means guard)."""
+    rows = df.select(vec_col).limit(sample_n).collect()
+    m = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (m @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    cents[c] = v / n
+    return cents
 
 
 def ivf_assign(
@@ -105,13 +160,18 @@ def ivf_assign(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 7,
+    centroids: np.ndarray | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
-    """IVF coarse quantization: deterministic pseudo-centroids (unit
-    gaussians from seed), assign each vector to its nearest centroid.
-    Real deployments train centroids with k-means; the assignment/probe
-    plumbing is identical."""
-    cents = _planes(dim, n_cells, seed)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid.  Pass ``centroids`` from train_ivf_centroids for trained
+    cells; the fallback is deterministic unit gaussians (plumbing-only
+    mode).  Like the LSH index, run this once and persist the assigned
+    table — queries then only scan their probe cells."""
+    if centroids is None:
+        cents = _planes(dim, n_cells, seed)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    else:
+        cents = centroids
 
     def assign(vs: pd.Series) -> pd.Series:
         m = np.stack(vs.to_numpy()).astype(np.float64)
@@ -130,9 +190,17 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    train: bool = False,
+    train_iters: int = 5,
+    train_sample: int = 10_000,
 ) -> DataFrame:
     dim = len(query_vec)
-    assigned, cents = ivf_assign(df, n_cells, id_col, vec_col, dim, seed)
+    cents = (
+        train_ivf_centroids(df, n_cells, vec_col, train_iters, train_sample, seed)
+        if train
+        else None
+    )
+    assigned, cents = ivf_assign(df, n_cells, id_col, vec_col, dim, seed, centroids=cents)
     q = np.array(query_vec, dtype=np.float64)
     probe_cells = np.argsort(-(cents @ q))[:n_probe].tolist()
     cand = assigned.filter(F.col("ivf_cell").isin(probe_cells))

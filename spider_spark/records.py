@@ -140,3 +140,31 @@ def parse_operator_calls(df: DataFrame, cert_num: str, phone: str) -> DataFrame:
         land_type_col(F.col("land_type_name")).alias("land_type"),
     ).dropDuplicates(["phone", "call_date", "call_time", "other_phone"])
     # unique key (phone, call_date, call_time, other_phone) = t_operator.sql:53
+
+
+def validate_rows(
+    df: DataFrame,
+    rules: dict[str, Column],
+    required_cols: tuple[str, ...] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """P12 param validation (checkAttr key-set equality
+    china_unicom.py:357-362; err 4400 route).
+
+    Key-set equality is a PLAN-time assert — a DataFrame's schema is the
+    param dict, so a wrong key set fails before any data moves.  Row
+    preconditions are a vectorized when-chain tagging each row with the
+    FIRST failed rule; returns (valid, violations) so bad rows route to
+    the error sink instead of dying in a task (codegen'd, no UDF)."""
+    if required_cols is not None and set(df.columns) != set(required_cols):
+        raise ValueError(
+            f"param key-set mismatch: got {sorted(df.columns)}, "
+            f"want {sorted(required_cols)} (err 4400 analog)"
+        )
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(list(rules.items())):
+        reason = F.when(~F.coalesce(cond, F.lit(False)), F.lit(name)).otherwise(reason)
+    tagged = df.withColumn("violation", reason)
+    return (
+        tagged.filter(F.col("violation").isNull()).drop("violation"),
+        tagged.filter(F.col("violation").isNotNull()),
+    )

@@ -75,3 +75,26 @@ def test_zhixing_shape(spark):
     assert set(parse_zhixing(raw).columns) == {
         "sys_id", "name", "card_num", "case_code", "reg_date", "court_name", "execute_money"
     }
+
+
+def test_validate_rows_first_failed_rule_and_keyset(spark):
+    from pyspark.sql import functions as F
+
+    from spider_spark.records import validate_rows
+
+    df = spark.createDataFrame(
+        [("p1", 10), ("p2", -3), (None, -9)], ["phone", "balance"]
+    )
+    rules = {
+        "phone_present": F.col("phone").isNotNull(),
+        "balance_nonneg": F.col("balance") >= 0,
+    }
+    ok, bad = validate_rows(df, rules, required_cols=("phone", "balance"))
+    assert [r["phone"] for r in ok.collect()] == ["p1"]
+    got = {r["phone"]: r["violation"] for r in bad.collect()}
+    # first failed rule wins: the None-phone row reports phone_present
+    assert got == {"p2": "balance_nonneg", None: "phone_present"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        validate_rows(df, rules, required_cols=("phone",))

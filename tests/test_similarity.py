@@ -57,3 +57,32 @@ def test_ivf_recall(emb, qv):
     }
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.4, f"IVF recall@10 too low: {recall}"
+
+
+def test_ivf_trained_recall_not_worse(emb, qv):
+    """Trained spherical-k-means cells must meet at least the random-cell
+    recall gate (usually beating it) with the same probe budget."""
+    from spider_spark.functions.similarity import cosine_topk, ivf_topk
+
+    brute = {r["vec_id"] for r in cosine_topk(emb.filter("vec_id != 0"), qv, k=10).collect()}
+    ivf = {
+        r["vec_id"]
+        for r in ivf_topk(
+            emb.filter("vec_id != 0"), qv, k=10, n_cells=8, n_probe=4, train=True
+        ).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.4, f"trained IVF recall@10 too low: {recall}"
+
+
+def test_lsh_index_precompute_equivalent(emb, qv):
+    """Serving from a persisted index must return the same top-k as the
+    inline path (the per-query plan is then UDF-free)."""
+    from spider_spark.functions.similarity import ann_lsh_topk, build_lsh_index
+
+    base = emb.filter("vec_id != 0")
+    index = build_lsh_index(base, dim=len(qv), n_planes=10).cache()
+    inline = ann_lsh_topk(base, qv, k=10, n_planes=10, probe_hamming=4).collect()
+    served = ann_lsh_topk(base, qv, k=10, n_planes=10, probe_hamming=4, index=index).collect()
+    assert [r["vec_id"] for r in inline] == [r["vec_id"] for r in served]
+    index.unpersist()
