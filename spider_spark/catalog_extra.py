@@ -199,3 +199,21 @@ def s4_embedding_norms(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@q(
+    "f11_url_format",
+    """SELECT 'http://h' || CAST(user_id % 50 AS VARCHAR) || '.example/p' ||
+              CAST(event_id % 1000 AS VARCHAR) AS url, COUNT(*) AS n
+       FROM events GROUP BY 1""",
+)
+def f11_url_format(spark, sf_dir):
+    """F11 URL format/concat (url_of synth shape; the reference's string
+    URL building phone_book.py:95, shixin_spider.py:166) as a catalog
+    entry: pure codegen concat, grouped to keep the result compact."""
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("http://h"), (F.col("user_id") % 50).cast("string"),
+        F.lit(".example/p"), (F.col("event_id") % 1000).cast("string"),
+    )
+    return ev.groupBy(url.alias("url")).agg(F.count(F.lit(1)).alias("n"))

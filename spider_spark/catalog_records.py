@@ -215,3 +215,41 @@ def p12_param_validation(spark, sf_dir):
         required_cols=("cust_id", "c_name", "c_acctbal"),
     )
     return bad
+
+
+@q(
+    "r6_phone_attribution",
+    """SELECT lpad(CAST(c_nationkey AS VARCHAR), 2, '0') ||
+                lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS phone,
+              n_name AS province, n_name || '市' AS city,
+              CASE n_nationkey % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                                   WHEN 2 THEN 3 ELSE 4 END AS company
+       FROM customer JOIN nation ON n_nationkey = c_nationkey""",
+)
+def r6_phone_attribution(spark, sf_dir):
+    """S16 geo attribution (get_phone_attr.py:28-64): phones built with a
+    2-digit nation prefix, enriched through the broadcast prefix dim +
+    carrier-name recode; oracle joins the source tables directly."""
+    from .geo import phone_attribution
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    phones = c.select(
+        F.concat(
+            F.lpad(F.col("c_nationkey").cast("string"), 2, "0"),
+            F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+        ).alias("phone")
+    )
+    carrier = (
+        F.when(F.col("n_nationkey") % 4 == 0, "中国联通")
+        .when(F.col("n_nationkey") % 4 == 1, "中国移动")
+        .when(F.col("n_nationkey") % 4 == 2, "中国电信")
+        .otherwise("其他运营商")
+    )
+    dim = n.select(
+        F.lpad(F.col("n_nationkey").cast("string"), 2, "0").alias("prefix"),
+        F.col("n_name").alias("province"),
+        F.concat(F.col("n_name"), F.lit("市")).alias("city"),
+        carrier.alias("company_name"),
+    )
+    return phone_attribution(phones, dim, prefix_len=2)

@@ -142,12 +142,31 @@ class Crawler:
             )
             self.store.append("seen", out["seen_delta"])
             self.store.append("documents", out["documents"])
+            if out.get("media_delta") is not None:
+                # S13 dup-key skip (db_config.py:46-54): first sighting of
+                # a media_ref wins; later rounds' repeats are dropped by
+                # the anti-join, and the append writes only the new rows
+                delta = out["media_delta"]
+                if self.store.exists("media"):
+                    delta = delta.join(
+                        self.store.read("media").select("media_ref"),
+                        "media_ref",
+                        "left_anti",
+                    )
+                self.store.append("media", delta)
             self.store.merge_upsert("host_state", out["host_updates"], key="host")
             self.store.append("lineage", out["lineage"])
             if self.bloom is not None and res.new_urls:
                 self.bloom.update_from_df(self.spark, out["seen_delta"])
             self.store.commit_round(r)
             self.store.expire_snapshots(keep=expire_keep)
+            # small-file maintenance (Iceberg rewrite_data_files analog):
+            # delta appends add one segment per round; compact the worst
+            # table slice once it crosses the member threshold.  No-op
+            # most rounds, amortized O(table/threshold).
+            for t in ("seen", "documents", "lineage", "frontier"):
+                if self.store.exists(t):
+                    self.store.compact(t, max_members=32)
             for df in out["_cached"]:
                 df.unpersist()
             for b in out.get("_broadcasts", []):

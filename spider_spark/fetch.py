@@ -85,7 +85,12 @@ def salted_repartition(batch: DataFrame, num_partitions: int, salt: int) -> Data
     )
 
 
-def make_fetch_fn(n_hosts: int, page_space: int, keep_body: bool = False):
+def make_fetch_fn(
+    n_hosts: int,
+    page_space: int,
+    keep_body: bool = False,
+    proxies: list[str] | None = None,
+):
     """mapInPandas fetch+parse against the deterministic simnet —
     all-numpy hot path, flat output columns only.
 
@@ -100,7 +105,12 @@ def make_fetch_fn(n_hosts: int, page_space: int, keep_body: bool = False):
         pid = tc.partitionId() if tc is not None else -1
         for pdf in batches:
             if session is None:
-                session = {"partition": pid, "fetches": 0}
+                # S2 proxy rotation: the partition's session pins ONE
+                # proxy from the refreshed pool (proxy_spider.py:15-66
+                # validated list) — deterministic per partition, so a
+                # replayed round rides the same identities (T5)
+                proxy = proxies[pid % len(proxies)] if proxies else None
+                session = {"partition": pid, "fetches": 0, "proxy": proxy}
             h, p = simnet.parse_url_np(pdf["url"])
             k = simnet.page_key(h, p)
             status = simnet.status_of_key_np(k)
@@ -143,9 +153,10 @@ def fetch_batch(
     num_partitions: int = 32,
     salt: int = 8,
     keep_body: bool = False,
+    proxies: list[str] | None = None,
 ) -> DataFrame:
     salted = salted_repartition(batch.select(*_PASSTHROUGH), num_partitions, salt)
     schema = _RAW_SCHEMA + (", body string" if keep_body else "")
-    raw = salted.mapInPandas(make_fetch_fn(n_hosts, page_space, keep_body), schema)
+    raw = salted.mapInPandas(make_fetch_fn(n_hosts, page_space, keep_body, proxies), schema)
     out_cols = [f.name for f in FETCH_RESULT.fields] + (["body"] if keep_body else [])
     return raw.withColumn("spans", F.expr(_SPANS_EXPR)).select(out_cols)

@@ -39,6 +39,14 @@ class CrawlConfig:
     # S14 raw-body retention: keep the response HTML on each document row
     # so parsers can re-run over old crawls (credit_person_web.py:234-249)
     keep_raw_body: bool = False
+    # S2 proxy rotation: refreshed pool (proxies.live_proxies output);
+    # each fetch partition's session pins one proxy — deterministic
+    # affinity (T5), replayable unlike the reference's random.choice
+    proxies: list[str] | None = None
+    # S13 media sink: persist one row per discovered media_ref (the
+    # saveImage/file-sink analog, share_func.py:224-249) with dup-key
+    # skip — first sighting wins, like the reference's unique-key insert
+    write_media_table: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -87,7 +95,7 @@ def run_round(
         "_round_results",
         fetch.fetch_batch(
             batch, cfg.n_hosts, cfg.page_space, cfg.fetch_partitions, cfg.salt,
-            keep_body=cfg.keep_raw_body,
+            keep_body=cfg.keep_raw_body, proxies=cfg.proxies,
         ),
     )
 
@@ -99,6 +107,19 @@ def run_round(
     docs = ok.select(
         *doc_cols, F.lit(round_id).cast("long").alias("fetch_round")
     )
+
+    # ---- media refs (S13): one row per media span, first-seen metadata
+    media_delta = None
+    if cfg.write_media_table:
+        media_delta = (
+            ok.select(F.explode("spans").alias("s"), "url")
+            .filter(F.col("s.kind") == "media")
+            .groupBy(F.col("s.media_ref").alias("media_ref"))
+            .agg(
+                F.min("url").alias("source_url"),
+                F.lit(round_id).cast("long").alias("first_seen_round"),
+            )
+        )
 
     # ---- link extraction -> robots -> dedup vs seen.  Links come out of
     # the fetch stage ALREADY canonical (canon.canonicalize_series runs
@@ -183,6 +204,7 @@ def run_round(
         "new_links": new_links,
         "seen_delta": seen_delta,
         "documents": docs,
+        "media_delta": media_delta,
         "host_updates": host_updates,
         "lineage": lineage,
         "_cached": [cand, new_links],

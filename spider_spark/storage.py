@@ -274,6 +274,44 @@ class TableStore:
         schema = StructType.fromJson(json.loads(prev["schema"]))
         return self._commit_version(table, v, kept + new_members, schema, pcol)
 
+    def compact(self, table: str, max_members: int = 16) -> str | None:
+        """Iceberg rewrite_data_files analog: delta appends accumulate
+        small segments; once a table (or one partition of it) has more
+        than ``max_members`` members, rewrite THAT slice into a single
+        segment and re-link the rest by reference.  Readers are untouched
+        (snapshot flip); expire_snapshots reclaims the old files.
+
+        For a partitioned table only the worst partition is compacted per
+        call — terminal frontier partitions compact without touching the
+        live ones, keeping the maintenance write O(partition), and
+        repeated calls converge."""
+        prev = self._manifest(table)
+        pcol = prev.get("partition_col")
+        members = prev["members"]
+        by_value: dict[str | None, list[dict]] = {}
+        for m in members:
+            by_value.setdefault(m["value"], []).append(m)
+        if not by_value:
+            return None
+        # NB: the unpartitioned group's key IS None — don't sentinel on it
+        worst = max(by_value, key=lambda v: len(by_value[v]))
+        if len(by_value[worst]) <= max_members:
+            return None
+        victim = by_value[worst]
+        schema = StructType.fromJson(json.loads(prev["schema"]))
+        slice_manifest = dict(prev, members=victim)
+        df = self._read_members(table, slice_manifest)
+        if pcol is not None:
+            # single-partition rewrite: drop the constant column, write
+            # unpartitioned, re-tag the member with the partition value
+            df = df.drop(pcol)
+        v = self._next_version(table)
+        new_members = self._write_segment(table, v, df, None)
+        if pcol is not None:
+            new_members = [dict(m, value=worst) for m in new_members]
+        kept = [m for m in members if m["value"] != worst]
+        return self._commit_version(table, v, kept + new_members, schema, pcol)
+
     # ------------------------------------------------------------ manifests
     def commit_round(self, round_id: int, extra: dict | None = None) -> None:
         manifest = {

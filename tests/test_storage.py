@@ -126,3 +126,43 @@ def test_restore_clears_tables_created_after_manifest(spark, tmp_path):
     # the re-run round recreates it from scratch -> no duplicated rows
     st.append("docs", spark.createDataFrame([(1,), (2,)], ["k"]))
     assert st.read("docs").count() == 2
+
+
+def test_compact_merges_small_segments(spark, tmp_path):
+    st = TableStore(spark, str(tmp_path))
+    for i in range(10):
+        st.append("t", spark.createDataFrame([(i, f"v{i}")], ["k", "v"]))
+    before = st._manifest("t")
+    assert len(before["members"]) == 10
+    assert st.compact("t", max_members=4) is not None
+    after = st._manifest("t")
+    assert len(after["members"]) == 1
+    rows = {r["k"]: r["v"] for r in st.read("t").collect()}
+    assert rows == {i: f"v{i}" for i in range(10)}
+    # below threshold now: no-op
+    assert st.compact("t", max_members=4) is None
+
+
+def test_compact_partitioned_only_touches_worst_partition(spark, tmp_path):
+    st = TableStore(spark, str(tmp_path))
+    st.write(
+        "t",
+        spark.createDataFrame([(0, "pending"), (100, "fetched")], ["k", "state"]),
+        partition_by=["state"],
+    )
+    for i in range(1, 7):
+        st.append(
+            "t",
+            spark.createDataFrame([(100 + i, "fetched")], ["k", "state"]),
+            partition_by=["state"],
+        )
+    before = st._manifest("t")
+    n_pending_before = sum(1 for m in before["members"] if m["value"] == "pending")
+    assert st.compact("t", max_members=3) is not None
+    after = st._manifest("t")
+    fetched = [m for m in after["members"] if m["value"] == "fetched"]
+    pending = [m for m in after["members"] if m["value"] == "pending"]
+    assert len(fetched) == 1
+    assert len(pending) == n_pending_before  # untouched, carried by reference
+    rows = {r["k"]: r["state"] for r in st.read("t").collect()}
+    assert rows == {0: "pending", **{100 + i: "fetched" for i in range(7)}}
