@@ -26,9 +26,19 @@ class Crawler:
         self.spark = spark
         self.cfg = cfg
         self.store = TableStore(spark, workdir)
-        self.bloom: ShardedBloom | None = (
-            ShardedBloom(cfg.bloom_shards, cfg.bloom_bits) if cfg.use_bloom else None
-        )
+        self.bloom = self._make_filter()
+
+    def _make_filter(self):
+        """Seen-prefilter per config: bloom (default) or cuckoo.  Both
+        expose update_from_df/maybe_contains; the filter only changes
+        WHICH candidates skip the exact anti-join, never the result."""
+        if not self.cfg.use_bloom:
+            return None
+        if self.cfg.filter_kind == "cuckoo":
+            from .cuckoo import ShardedCuckoo
+
+            return ShardedCuckoo(self.cfg.cuckoo_buckets)
+        return ShardedBloom(self.cfg.bloom_shards, self.cfg.bloom_bits)
 
     # ------------------------------------------------------------ bootstrap
     def bootstrap(self, seeds: DataFrame, hosts: DataFrame) -> None:
@@ -79,7 +89,7 @@ class Crawler:
         if rid is None:
             raise RuntimeError("nothing to resume: no committed rounds")
         if self.cfg.use_bloom:
-            self.bloom = ShardedBloom(self.cfg.bloom_shards, self.cfg.bloom_bits)
+            self.bloom = self._make_filter()
             self.bloom.update_from_df(self.spark, self.store.read("seen"))
         return rid
 

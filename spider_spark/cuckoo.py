@@ -1,0 +1,192 @@
+"""Cuckoo URL-seen filter — the deletable sibling of bloom.ShardedBloom.
+
+The north-star design names a "sharded Bloom/cuckoo URL-seen filter";
+the two structures trade off differently and the engine offers both:
+
+- Bloom (bloom.py): bitmaps OR-merge, so per-partition deltas build on
+  executors and merge on the driver — the SCALE DEFAULT for a grow-only
+  seen set.
+- Cuckoo (this file): supports DELETE (a fingerprint can be removed),
+  which keeps the prefilter in sync with the S9 delete-resolved flow
+  (storage.merge_upsert delete_keys) without a full rebuild.  The cost:
+  two tables can't be OR-merged — slots collide — so updates re-insert
+  fingerprints; build it from a hash column in bounded driver batches
+  and prefer Bloom when the set only ever grows.
+
+Standard cuckoo-filter layout (Fan et al., public domain technique):
+buckets of 4 slots × 16-bit fingerprints, alt bucket = i ^ hash(fp),
+bounded eviction kicks.  All batch operations are numpy-vectorized with
+a deterministic kick order (no RNG — replay parity).
+
+Safety direction is the same as Bloom's: a false positive costs an
+extra exact check; a URL is never dropped on filter evidence alone.
+A DELETED fingerprint weakens nothing — deletion is only called for
+keys actually removed from the authoritative table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_FP_MIX = np.uint64(0xFF51AFD7ED558CCD)
+SLOTS = 4
+
+
+def _fingerprint(url_hash: np.ndarray) -> np.ndarray:
+    """16-bit nonzero fingerprint from the 64-bit url hash."""
+    x = url_hash.astype(np.int64).view(np.uint64) * _FP_MIX
+    fp = ((x >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+    fp[fp == 0] = 1  # 0 is the empty-slot sentinel
+    return fp
+
+
+def _index1(url_hash: np.ndarray, mask: int) -> np.ndarray:
+    x = url_hash.astype(np.int64).view(np.uint64)
+    return ((x ^ (x >> np.uint64(33))) & np.uint64(mask)).astype(np.int64)
+
+
+def _alt_index(idx: np.ndarray, fp: np.ndarray, mask: int) -> np.ndarray:
+    h = fp.astype(np.uint64) * _FP_MIX
+    return ((idx.astype(np.uint64) ^ (h >> np.uint64(32))) & np.uint64(mask)).astype(
+        np.int64
+    )
+
+
+class ShardedCuckoo:
+    def __init__(self, n_buckets: int = 1 << 18, max_kicks: int = 64):
+        assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
+        self.m = n_buckets
+        self.mask = n_buckets - 1
+        self.max_kicks = max_kicks
+        self.table = np.zeros((n_buckets, SLOTS), dtype=np.uint16)
+        self.count = 0
+        self.dropped = 0  # items that exhausted kicks (callers log this)
+
+    # ------------------------------------------------------------ insert
+    def _place_batch(self, idx: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        """Optimistically place items whose bucket has room; returns the
+        boolean mask of UNPLACED items.  Same-bucket collisions within
+        the batch are serialized by stable sort + slot offsets."""
+        order = np.argsort(idx, kind="stable")
+        sidx, sfp = idx[order], fp[order]
+        # per-bucket position of each item within this batch
+        uniq, starts = np.unique(sidx, return_index=True)
+        within = np.arange(len(sidx)) - np.repeat(starts, np.diff(np.append(starts, len(sidx))))
+        free = self.table[sidx] == 0  # (n, SLOTS) view of free slots
+        n_free_before = np.cumsum(free, axis=1)
+        total_free = n_free_before[:, -1]
+        can = within < total_free
+        # slot chosen = the (within+1)-th free slot of the bucket
+        target_slot = np.argmax(n_free_before > within[:, None], axis=1)
+        placed_idx = sidx[can]
+        placed_slot = target_slot[can]
+        self.table[placed_idx, placed_slot] = sfp[can]
+        unplaced = np.ones(len(idx), dtype=bool)
+        unplaced[order[can]] = False
+        return unplaced
+
+    def update_local(self, url_hash: np.ndarray) -> None:
+        fp = _fingerprint(url_hash)
+        i1 = _index1(url_hash, self.mask)
+        self.count += len(url_hash)
+        left = self._place_batch(i1, fp)
+        if left.any():
+            i2 = _alt_index(i1[left], fp[left], self.mask)
+            fp2 = fp[left]
+            left2 = self._place_batch(i2, fp2)
+            # bounded deterministic eviction for the stragglers (rare at
+            # sane load factors; python loop over leftovers only)
+            for j in np.nonzero(left2)[0]:
+                self._insert_kicking(int(i2[j]), int(fp2[j]))
+
+    def _insert_kicking(self, idx: int, fp: int) -> None:
+        for kick in range(self.max_kicks):
+            row = self.table[idx]
+            free = np.nonzero(row == 0)[0]
+            if len(free):
+                row[free[0]] = fp
+                return
+            slot = kick % SLOTS  # deterministic kick, no RNG
+            fp, row[slot] = int(row[slot]), fp
+            idx = int(
+                _alt_index(np.array([idx]), np.array([fp], dtype=np.uint16), self.mask)[0]
+            )
+        self.dropped += 1  # caller must treat the set as saturated
+
+    # ------------------------------------------------------------ query
+    def maybe_contains(self, url_hash: np.ndarray) -> np.ndarray:
+        fp = _fingerprint(url_hash)
+        i1 = _index1(url_hash, self.mask)
+        i2 = _alt_index(i1, fp, self.mask)
+        in1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        in2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        # a saturated filter must fail safe: claim "maybe" for everything
+        if self.dropped:
+            return np.ones(len(url_hash), dtype=bool)
+        return in1 | in2
+
+    # ------------------------------------------------------------ delete
+    def delete_local(self, url_hash: np.ndarray) -> int:
+        """Remove ONE matching fingerprint per key (the cuckoo advantage:
+        S9 delete-resolved keeps the prefilter exact without a rebuild).
+        Returns how many were found and removed."""
+        removed = 0
+        fp = _fingerprint(url_hash)
+        i1 = _index1(url_hash, self.mask)
+        i2 = _alt_index(i1, fp, self.mask)
+        for k in range(len(url_hash)):
+            for idx in (i1[k], i2[k]):
+                row = self.table[idx]
+                hit = np.nonzero(row == fp[k])[0]
+                if len(hit):
+                    row[hit[0]] = 0
+                    removed += 1
+                    self.count -= 1
+                    break
+        return removed
+
+    def fill_ratio(self) -> float:
+        return float((self.table != 0).mean())
+
+    # ------------------------------------------------------------ build
+    def update_from_df(
+        self, spark: SparkSession, delta: DataFrame, batch_rows: int = 1_000_000
+    ) -> None:
+        """Driver-batched build: cuckoo tables don't OR-merge, so inserts
+        happen here in bounded chunks (toPandas per slice).  Bloom stays
+        the default for grow-only sets; use cuckoo where deletes matter."""
+        arr = delta.select("url_hash").toPandas()["url_hash"].to_numpy()
+        for start in range(0, len(arr), batch_rows):
+            self.update_local(arr[start : start + batch_rows])
+
+
+def cuckoo_prefilter(
+    spark: SparkSession, candidates: DataFrame, cuckoo: ShardedCuckoo | None
+) -> tuple[DataFrame, DataFrame, object | None]:
+    """Split candidates into (definitely_new, maybe_seen) on url_hash —
+    bloom.bloom_prefilter's contract, cuckoo-backed.  Returns the
+    broadcast for the caller to destroy after the round's actions."""
+    if cuckoo is None:
+        return candidates.limit(0), candidates, None
+    bc = spark.sparkContext.broadcast(
+        {"table": cuckoo.table, "m": cuckoo.m, "kicks": cuckoo.max_kicks,
+         "dropped": cuckoo.dropped}
+    )
+
+    @F.pandas_udf("boolean")
+    def maybe_udf(url_hash: pd.Series) -> pd.Series:
+        d = bc.value
+        c = ShardedCuckoo(d["m"], d["kicks"])
+        c.table = d["table"]
+        c.dropped = d["dropped"]
+        return pd.Series(c.maybe_contains(url_hash.to_numpy()))
+
+    tagged = candidates.withColumn("_maybe", maybe_udf(F.col("url_hash")))
+    return (
+        tagged.filter(~F.col("_maybe")).drop("_maybe"),
+        tagged.filter(F.col("_maybe")).drop("_maybe"),
+        bc,
+    )

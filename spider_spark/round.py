@@ -33,6 +33,10 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_shards: int = 16
     bloom_bits: int = 1 << 20
+    # seen-prefilter structure: "bloom" (OR-mergeable deltas — the scale
+    # default) or "cuckoo" (deletable, syncs with S9 delete-resolved)
+    filter_kind: str = "bloom"
+    cuckoo_buckets: int = 1 << 18
     # link canonicalization happens inside the fetch stage (fetch.py) —
     # kept as a flag only to document the contract
     canonicalize_links: bool = True
@@ -141,7 +145,12 @@ def run_round(
     cand = politeness.robots_allowed(cand, hosts_df).cache()
     n_cand = cand.count()
 
-    definite_new, maybe_seen, bloom_bc = bloom_mod.bloom_prefilter(spark, cand, bloom)
+    from .cuckoo import ShardedCuckoo, cuckoo_prefilter
+
+    if isinstance(bloom, ShardedCuckoo):
+        definite_new, maybe_seen, bloom_bc = cuckoo_prefilter(spark, cand, bloom)
+    else:
+        definite_new, maybe_seen, bloom_bc = bloom_mod.bloom_prefilter(spark, cand, bloom)
     checked_new = maybe_seen.join(seen_df.select("url_hash"), "url_hash", "left_anti")
     new_links = definite_new.unionByName(checked_new).cache()
 
