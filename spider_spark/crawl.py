@@ -185,6 +185,14 @@ class Crawler:
         hosts_df.unpersist()
         return results
 
+    # ------------------------------------------------------------ robots cache
+    def update_hosts(self, host_rows: DataFrame) -> str:
+        """Politeness-cache refresh: MERGE (by host) freshly parsed
+        robots/politeness rows (robots.hosts_from_robots output) into the
+        hosts table the rounds broadcast.  Run it between rounds at
+        whatever cadence robots re-fetch deserves."""
+        return self.store.merge_upsert("hosts", host_rows, key="host")
+
     # ------------------------------------------------------------ audit (T6)
     def audit_lost(self, expected: DataFrame, priority: int = 0) -> int:
         """Lost-ID reconciliation sweep (errLostAPI shixin_spider.py:401-423):

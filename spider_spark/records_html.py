@@ -73,14 +73,22 @@ def credit_query_records(
     person_table: int = 8,
 ) -> DataFrame:
     """t_credit_query (claw_report.py:8-58, t_credit.sql:27-39): agency
-    table → query_type 1, personal table → query_type 0; rows [3:-1]."""
-    ag = sliced_table_records(
-        docs, body_col, agency_table, CREDIT_QUERY_KEYS, 3, 1, id_cols
-    ).withColumn("query_type", F.lit(1))
-    pe = sliced_table_records(
-        docs, body_col, person_table, CREDIT_QUERY_KEYS, 3, 1, id_cols
-    ).withColumn("query_type", F.lit(0))
-    return ag.unionByName(pe)
+    table → query_type 1, personal table → query_type 0; rows [3:-1].
+
+    ONE pass: both tables are sliced from a single parse (a union of two
+    sliced_table_records would run the scanner UDF once per branch —
+    Spark does not CSE identical subtrees pre-AQE)."""
+    r = table_rows(docs, body_col, id_cols).filter(
+        F.col("table_idx").isin(agency_table, person_table)
+        & (F.col("row_idx") >= 3)
+        & (F.col("row_idx") < F.col("n_rows") - 1)
+    )
+    cols = [
+        F.try_element_at("cells", F.lit(i + 1)).alias(k)
+        for i, k in enumerate(CREDIT_QUERY_KEYS)
+    ]
+    qtype = F.when(F.col("table_idx") == agency_table, 1).otherwise(0)
+    return r.select(*id_cols, *cols, qtype.alias("query_type"))
 
 
 # the reference's sentence regexes (claw_report.py:70-80), verbatim:
