@@ -155,3 +155,19 @@ def test_w4_chunking_has_no_single_partition_data_sort(spark):
     assert "windowspecdefinition(_pid" in plan, (
         "data-side row_number window must be partitioned by _pid"
     )
+
+
+def test_record_parser_plan_quality(spark):
+    """Parser families stay on the fast path: r2/r4 are pure JVM (regex /
+    JSON-path, zero python operators), r1 runs EXACTLY one python stage
+    (the table scanner), r6's dim join broadcasts."""
+    from spider_spark.catalog import QUERIES
+
+    def n_python(plan):
+        return plan.count("EvalPython") + plan.count("MapInPandas")
+
+    assert n_python(_plan(QUERIES["r2_credit_card_parse"](spark, SF_DIR), "simple")) == 0
+    assert n_python(_plan(QUERIES["r4_operator_user_json"](spark, SF_DIR), "simple")) == 0
+    assert n_python(_plan(QUERIES["r1_credit_query_parse"](spark, SF_DIR), "simple")) == 1
+    p6 = _plan(QUERIES["r6_phone_attribution"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p6 and "SortMergeJoin" not in p6
