@@ -36,6 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
     cfg = CrawlConfig(
         n_hosts=n_hosts, page_space=page_space, max_retries=2,
         fetch_partitions=4, use_bloom=True, bloom_shards=4, bloom_bits=1 << 16,
+        # exercise the full sink surface in the flagship: raw bodies kept
+        # for re-parse (S14) and the media-ref table (S13)
+        keep_raw_body=True, write_media_table=True,
     )
     seeds = synth.seed_list(spark, 200, n_hosts, page_space)
     hosts = synth.hosts_config(spark, n_hosts)

@@ -166,3 +166,73 @@ def test_compact_partitioned_only_touches_worst_partition(spark, tmp_path):
     assert len(pending) == n_pending_before  # untouched, carried by reference
     rows = {r["k"]: r["state"] for r in st.read("t").collect()}
     assert rows == {0: "pending", **{100 + i: "fetched" for i in range(7)}}
+
+
+def test_store_random_ops_match_model(spark, tmp_path):
+    """Model-based check of the manifest-segment store: a seeded random
+    sequence of write/append/merge/delete/compact/expire/commit/restore
+    ops must leave the table equal to a plain dict model at every
+    readback.  This is the regression net for the round-2 redesign."""
+    import random
+
+    rng = random.Random(1234)
+    st = TableStore(spark, str(tmp_path))
+    model: dict[int, str] = {}
+    committed_model: dict[int, str] | None = None
+    next_round = 1
+
+    def rows(n):
+        return [(rng.randrange(100), f"v{rng.randrange(1000)}") for _ in range(n)]
+
+    def df_of(pairs):
+        return spark.createDataFrame(pairs, "k int, v string") if pairs else (
+            spark.createDataFrame([], "k int, v string")
+        )
+
+    def check():
+        got = {r["k"]: r["v"] for r in st.read("t").collect()}
+        assert got == model, f"store diverged from model: {got} != {model}"
+
+    st.write("t", df_of(rows(5)))
+    model = {}
+    # write is last-wins per batch order only as a whole table; rebuild model
+    # from the same pairs with dict semantics matching createDataFrame order
+    # (later duplicate keys in one batch are separate rows!), so avoid dup
+    # keys per batch instead:
+    st.write("t", df_of([(i, f"init{i}") for i in range(5)]))
+    model = {i: f"init{i}" for i in range(5)}
+    check()
+
+    for _step in range(25):
+        op = rng.choice(["append", "merge", "delete", "compact", "expire", "commit_restore"])
+        if op == "append":
+            new_keys = [k for k in range(100, 200) if k not in model]
+            picks = rng.sample(new_keys, 3)
+            st.append("t", df_of([(k, f"a{k}") for k in picks]))
+            model.update({k: f"a{k}" for k in picks})
+        elif op == "merge":
+            ups = {rng.randrange(200): f"m{_step}_{i}" for i in range(4)}
+            st.merge_upsert("t", df_of(list(ups.items())), key="k")
+            model.update(ups)
+        elif op == "delete":
+            if model:
+                victims = rng.sample(sorted(model), min(2, len(model)))
+                st.merge_upsert(
+                    "t", df_of([]), key="k",
+                    delete_keys=spark.createDataFrame([(k,) for k in victims], "k int"),
+                )
+                for k in victims:
+                    del model[k]
+        elif op == "compact":
+            st.compact("t", max_members=3)
+        elif op == "expire":
+            st.expire_snapshots(keep=2)
+        else:
+            if committed_model is None or rng.random() < 0.7:
+                st.commit_round(next_round)
+                next_round += 1
+                committed_model = dict(model)
+            else:
+                st.restore_last_committed()
+                model = dict(committed_model)
+        check()
