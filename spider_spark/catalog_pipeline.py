@@ -383,3 +383,54 @@ def m2_binarize_media(spark, sf_dir):
         )
     )
     return binarize_media(synth_media_table(refs)).drop("binarized")
+
+
+@q(
+    "d5_embedding_near_dup",
+    # ground-truth oracle: planted identical vectors share the exact LSH
+    # signature, so blocking always surfaces the pair at cosine 1.0
+    """SELECT vec_id AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b,
+              1.0 AS cos_sim FROM embeddings""",
+)
+def d5_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup tier: every vector gets an exact copy
+    planted at id+1e6; signature-blocked candidates + exact cosine
+    verify must recover every planted pair at 1.0."""
+    from .functions.dedup import embedding_near_pairs
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    planted = e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    return embedding_near_pairs(e.unionByName(planted), threshold=0.99).filter(
+        (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 1_000_000)
+    )
+
+
+@q(
+    "t4_fingerprint_stability",
+    # planted-copy determinism gate: identical text -> identical winnowing
+    # fingerprint, for every document
+    """SELECT doc_id, CAST(1 AS BOOLEAN) AS fp_match FROM documents""",
+)
+def t4_fingerprint_stability(spark, sf_dir):
+    """Winnowing fingerprints (functions/text.py rolling min-hash) are a
+    pure function of content: each doc's fingerprint must equal its
+    planted copy's.  Semantics gated in tests/test_text_multimodal.py;
+    this entry puts the operator under the driver oracle."""
+    from .functions.text import fingerprint_udf
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    both = d.unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    fps = both.select("doc_id", fingerprint_udf(F.col("text")).alias("fp"))
+    a = fps.filter(F.col("doc_id") < 1_000_000).alias("a")
+    b = fps.filter(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("doc_id"), F.col("fp").alias("fp_b")
+    ).alias("b")
+    return a.join(b, "doc_id").select(
+        "doc_id", (F.col("fp") == F.col("fp_b")).alias("fp_match")
+    )

@@ -118,3 +118,17 @@ def test_simhash_hot_chunk_cap(spark):
     sigs = simhash_signatures(same)
     pairs = simhash_near_pairs(sigs, max_hamming=0, max_bucket_size=cap)
     assert pairs.count() == cap * (cap - 1) // 2
+
+
+def test_embedding_near_pairs_recovers_planted_vectors(spark):
+    from spider_spark.functions.dedup import embedding_near_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    ).limit(80)
+    planted = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    pairs = embedding_near_pairs(emb.unionByName(planted), threshold=0.99)
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in pairs.collect()}
+    expected = {(r["vec_id"], r["vec_id"] + 1_000_000) for r in emb.collect()}
+    assert expected <= set(got)
+    assert all(got[p] == 1.0 for p in expected)
