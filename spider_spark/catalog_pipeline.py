@@ -434,3 +434,22 @@ def t4_fingerprint_stability(spark, sf_dir):
     return a.join(b, "doc_id").select(
         "doc_id", (F.col("fp") == F.col("fp_b")).alias("fp_match")
     )
+
+
+@q("m3_frame_sample")  # rows-only: fake decode + binary output
+def m3_frame_sample(spark, sf_dir):
+    """Video frame sampling plumbing: one output row per kept frame
+    (every 10th), fixed-slice fake decode — the batch shape an ffmpeg
+    decoder drops into unchanged."""
+    from .functions.multimodal import frame_sample, synth_media_table
+
+    refs = (
+        _t(spark, sf_dir, "documents")
+        .limit(500)
+        .select(
+            F.concat(
+                F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit("/vid0")
+            ).alias("media_ref")
+        )
+    )
+    return frame_sample(synth_media_table(refs), every_k=10).drop("frame")

@@ -188,3 +188,86 @@ def binarize_media(media: DataFrame, strict: bool = False) -> DataFrame:
             )
 
     return media.select("media_ref", "content").mapInPandas(fn, out_schema)
+
+
+def resize_media(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Nearest-neighbor resize over binary image columns (mapInPandas).
+
+    Decode is the stubbed step (bytes -> RGBA grid, as in
+    decode_and_featurize); the resize itself is real numpy index math —
+    swapping in PIL changes only the decode line.  Output keeps the
+    binary-column contract: (media_ref, width, height, content)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, blobs = [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                b = np.frombuffer(content or b"", dtype=np.uint8)
+                n_px = max(len(b) // 4, 1)
+                w = max(int(np.sqrt(n_px)), 1)
+                h = max(n_px // w, 1)
+                px = np.resize(b, (h, w, 4))
+                ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                blobs.append(px[ys[:, None], xs[None, :]].tobytes())
+                refs.append(ref)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "width": np.full(len(refs), out_w, dtype=np.int32),
+                    "height": np.full(len(refs), out_h, dtype=np.int32),
+                    "content": blobs,
+                }
+            )
+
+    return media.select("media_ref", "content").mapInPandas(fn, out_schema)
+
+
+def frame_sample(media: DataFrame, every_k: int = 10) -> DataFrame:
+    """Sample every k-th frame from video blobs: one OUTPUT ROW PER KEPT
+    FRAME — the batch-shape contract a real decoder (ffmpeg) would have.
+    Frame count/bytes are derived deterministically from the blob (the
+    stubbed decode); frames are fixed-size slices of the blob, cycled."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, idxs, totals, frames = [], [], [], []
+            for ref, content, kind in zip(
+                pdf["media_ref"], pdf["content"], pdf["media_kind"]
+            ):
+                b = np.frombuffer(content or b"", dtype=np.uint8)
+                seed = int(b[:8].astype(np.int64).sum()) if len(b) >= 8 else 0
+                n_frames = 1 if kind == "image" else 1 + seed % 120
+                fsize = max(len(b) // max(n_frames, 1), 1)
+                for fi in range(0, n_frames, every_k):
+                    start = (fi * fsize) % max(len(b), 1)
+                    refs.append(ref)
+                    idxs.append(fi)
+                    totals.append(n_frames)
+                    frames.append(b[start : start + fsize].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "n_frames": np.array(totals, dtype=np.int32),
+                    "frame": frames,
+                }
+            )
+
+    return media.select("media_ref", "content", "media_kind").mapInPandas(fn, out_schema)

@@ -49,3 +49,43 @@ def test_binarize_media_plumbing(spark):
     # deterministic across runs
     again = {r["media_ref"]: r["frac_white"] for r in binarize_media(media).collect()}
     assert again == {r["media_ref"]: r["frac_white"] for r in out}
+
+
+def test_resize_media_shape_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from spider_spark.functions.multimodal import resize_media, synth_media_table
+
+    refs = spark.range(6).select(
+        F.concat(F.lit("media://h1/p"), F.col("id"), F.lit("/img0")).alias("media_ref")
+    )
+    media = synth_media_table(refs)
+    out = resize_media(media, out_w=16, out_h=8).collect()
+    assert len(out) == 6
+    for r in out:
+        assert (r["width"], r["height"]) == (16, 8)
+        assert len(r["content"]) == 16 * 8 * 4
+    again = {r["media_ref"]: r["content"] for r in resize_media(media, 16, 8).collect()}
+    assert again == {r["media_ref"]: r["content"] for r in out}
+
+
+def test_frame_sample_rows_per_kept_frame(spark):
+    from pyspark.sql import functions as F
+
+    from spider_spark.functions.multimodal import frame_sample, synth_media_table
+
+    refs = spark.range(10).select(
+        F.concat(F.lit("media://h2/p"), F.col("id"), F.lit("/vid0")).alias("media_ref")
+    )
+    media = synth_media_table(refs)  # 'vid0' refs -> video kind
+    out = frame_sample(media, every_k=7)
+    rows = out.collect()
+    assert len(rows) >= 10  # at least frame 0 per video
+    by_ref: dict = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    for ref, rs in by_ref.items():
+        n = rs[0]["n_frames"]
+        expected = list(range(0, n, 7))
+        assert sorted(r["frame_idx"] for r in rs) == expected
+        assert all(len(r["frame"]) > 0 for r in rs)
