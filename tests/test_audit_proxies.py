@@ -149,3 +149,34 @@ def test_media_table_sink_first_wins(spark, tmp_path):
     assert table_refs == span_refs
     # first-wins: every first_seen_round <= any later sighting (monotone by construction)
     assert media.filter(F.col("first_seen_round") < 1).count() == 0
+
+
+def test_sink_flags_do_not_change_crawl_semantics(spark, tmp_path):
+    """keep_raw_body / write_media_table only ADD sink output; crawl
+    order, seen set, and frontier states must be bit-identical to a run
+    without them (the flagship entry runs with both on)."""
+    from spider_spark.crawl import Crawler
+    from spider_spark.round import CrawlConfig
+
+    outs = {}
+    for label, flags in (
+        ("plain", {}),
+        ("sinks", {"keep_raw_body": True, "write_media_table": True}),
+    ):
+        cfg = CrawlConfig(
+            n_hosts=N_HOSTS, page_space=PAGE_SPACE, max_retries=2,
+            fetch_partitions=4, use_bloom=True, bloom_shards=4,
+            bloom_bits=1 << 14, **flags,
+        )
+        c = Crawler(spark, str(tmp_path / label), cfg)
+        c.bootstrap(
+            synth.seed_list(spark, 40, N_HOSTS, PAGE_SPACE),
+            synth.hosts_config(spark, N_HOSTS),
+        )
+        c.run_rounds(2, expire_keep=10)
+        outs[label] = (
+            c.seen_urls(),
+            {(r["url"], r["state"]) for r in c.frontier_df().collect()},
+            {r["doc_id"] for r in c.store.read("documents").collect()},
+        )
+    assert outs["plain"] == outs["sinks"]
