@@ -19,7 +19,7 @@ Env knobs:
   SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     (default 32)
   SPARK_GRAFT_FRONTIER (default 3_000_000 rows; scaling legs use
-                       SPARK_GRAFT_SCALE_FRONTIER, default 6_000_000)
+                       SPARK_GRAFT_SCALE_FRONTIER, default 3_000_000)
   SPARK_GRAFT_SCALING  (default 1; 0 skips the two-level scaling run)
 """
 
@@ -265,7 +265,7 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_frontier = int(os.environ.get("SPARK_GRAFT_FRONTIER", "3000000"))
-    scale_frontier = int(os.environ.get("SPARK_GRAFT_SCALE_FRONTIER", "6000000"))
+    scale_frontier = int(os.environ.get("SPARK_GRAFT_SCALE_FRONTIER", "3000000"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -330,6 +330,11 @@ def main():
         # rerun big.  Stop when the pair is plausible or retries run out,
         # and say which in the JSON.
         tries = int(os.environ.get("SPARK_GRAFT_SCALE_TRIES", "4"))
+        # hard wall-clock budget for the RETRY phase: when the whole box
+        # is throttled every leg runs 3-6x slow and retries cannot
+        # converge — stop burning time and ship the flagged pair (the
+        # JSON line must always print)
+        retry_budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "600"))
         attempts = 0
         try:
             thr[big] = leg(big, 1)
@@ -337,9 +342,14 @@ def main():
         except Exception as e:  # never lose the JSON line to a scaling hiccup
             log(f"bench: scaling run failed ({e})")
             errs["leg"] = str(e)[:160]
+        t_retry = time.monotonic()
         while small in thr and big in thr and attempts < tries:
             eff = (thr[big] / thr[small]) / (big / small)
             if not (eff > 1.1 or eff < 0.8):
+                break
+            if time.monotonic() - t_retry > retry_budget:
+                log("bench: scaling retry budget exhausted; shipping flagged pair")
+                errs["retry_budget"] = "exhausted"
                 break
             attempts += 1
             target = small if eff > 1.1 else big
