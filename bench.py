@@ -115,10 +115,16 @@ def frontier_wave(spark, n_rows: int, cores: int, n_hosts: int = 1000) -> dict:
     if pre:
         agg, counts, n_new = (int(x) for x in pre.split(","))
     else:
-        results, cand, new = wave_df()
-        agg = results.groupBy().count().collect()[0][0]
-        counts = cand.groupBy().count().collect()[0][0]
+        # one full-pipeline job, not three: candidates are persisted so
+        # n_new's job materializes them, cand.count() reads the cache, and
+        # the dequeued count comes from the pre-fetch batch (identical to
+        # the fetch output row count, no python stage)
+        _results, cand, new = wave_df()
+        cand = cand.persist()
         n_new = new.groupBy().count().collect()[0][0]
+        counts = cand.count()
+        agg = dequeue(frontier, eligible_hosts(hosts, None, 1), 1, global_cap=None).count()
+        cand.unpersist()
 
     # best-of-N single-action timed passes: the sandbox has bursty external
     # interference; the fastest wave is the engine's steady-state capability.
