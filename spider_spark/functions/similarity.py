@@ -100,6 +100,21 @@ def query_signature(query_vec: list[float], n_planes: int = 12, seed: int = 42) 
     return int(bits.astype(np.int64) @ (1 << np.arange(n_planes, dtype=np.int64)))
 
 
+def probe_signatures(qsig: int, n_planes: int, probe_hamming: int) -> list[int]:
+    """Multi-probe LSH bucket enumeration: every signature within
+    ``probe_hamming`` bit flips of the query's — C(n_planes, ≤h) values."""
+    from itertools import combinations
+
+    out = []
+    for h in range(probe_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            s = qsig
+            for b in bits:
+                s ^= 1 << b
+            out.append(s)
+    return out
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -115,11 +130,21 @@ def ann_lsh_topk(
     is within `probe_hamming` bits of the query's (multi-probe LSH).
 
     Pass ``index`` (a persisted build_lsh_index output) to serve the
-    query entirely JVM-side: signature-filter + exact rerank, no UDF."""
+    query entirely JVM-side.  The probe buckets are ENUMERATED and
+    matched with an IN filter, which pushes into the parquet scan
+    (row-group/dictionary skip) — a bit_count distance filter cannot
+    push down and would touch every row of the index.  For probe sets
+    too large to enumerate the code falls back to the distance filter."""
     if index is None:
         index = build_lsh_index(df, len(query_vec), id_col, vec_col, n_planes, seed)
     qsig = query_signature(query_vec, n_planes, seed)
-    cand = index.filter(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming)
+    probes = probe_signatures(qsig, n_planes, probe_hamming)
+    if len(probes) <= 1024:
+        cand = index.filter(F.col("sig").isin(probes))
+    else:
+        cand = index.filter(
+            F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming
+        )
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 

@@ -86,3 +86,29 @@ def test_lsh_index_precompute_equivalent(emb, qv):
     served = ann_lsh_topk(base, qv, k=10, n_planes=10, probe_hamming=4, index=index).collect()
     assert [r["vec_id"] for r in inline] == [r["vec_id"] for r in served]
     index.unpersist()
+
+
+def test_persisted_lsh_index_pushes_sig_filter_to_scan(spark, tmp_path, emb, qv):
+    """The serve-path property at scale: querying a PERSISTED index must
+    push the signature predicate into the parquet scan (row-group skip),
+    and the query plan must contain no python operator."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from spider_spark.functions.similarity import ann_lsh_topk, build_lsh_index
+
+    base = emb.filter("vec_id != 0")
+    path = str(tmp_path / "ann_index")
+    build_lsh_index(base, dim=len(qv), n_planes=10).write.parquet(path)
+    index = spark.read.parquet(path)
+    served = ann_lsh_topk(base, qv, k=10, n_planes=10, probe_hamming=2, index=index)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain(mode="formatted")
+    plan = buf.getvalue()
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "In(sig" in pushed, f"probe-set IN filter must reach the scan, got: {pushed}"
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert served.count() >= 0
