@@ -253,13 +253,26 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 def wave_subprocess(cores: int, n_rows: int, counts: str | None = None, reps: int = 1) -> dict:
     """Run one frontier wave in a fresh JVM/process (sequential — running
     the two configs concurrently was tried and is UNFAIR here: when the
-    shared VM throttles, the bigger config absorbs the contention)."""
+    shared VM throttles, the bigger config absorbs the contention).
+
+    CPU-affinity pinning (taskset): local-mode `local[N]` caps TASK
+    SLOTS, not physical CPUs — on an idle box a small leg's JVM service
+    threads and python workers overlap extra cores, inflating its
+    throughput (measured: un-pinned local[2] hit 96k urls/s/core vs 59k
+    pinned).  Pinning each leg to exactly `cores` physical CPUs models a
+    real executor's cgroup bound, which is what the N→4N efficiency rule
+    is about."""
+    import shutil as _shutil
+
+    cmd = [sys.executable, os.path.abspath(__file__)]
+    if _shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     env = dict(os.environ, SPARK_GRAFT_WAVE_ONLY="1", SPARK_GRAFT_CPUS=str(cores),
                SPARK_GRAFT_FRONTIER=str(n_rows), SPARK_GRAFT_REPS=str(reps))
     if counts:
         env["SPARK_GRAFT_COUNTS"] = counts
     res = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
+        cmd,
         env=env, capture_output=True, text=True,
         timeout=int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "600")),
         cwd=os.path.dirname(os.path.abspath(__file__)),
