@@ -151,7 +151,11 @@ class Crawler:
                 immutable_partitions=["fetched", "dead"],
             )
             self.store.append("seen", out["seen_delta"])
-            self.store.append("documents", out["documents"])
+            # documents partitioned by fetch_round: each round's append is
+            # one partition member, so an incremental consumer (export of
+            # rounds k..k+n for a training-data pipeline) opens only those
+            # members — manifest-level pruning, no full-table scan
+            self.store.append("documents", out["documents"], partition_by=["fetch_round"])
             if out.get("media_delta") is not None:
                 # S13 dup-key skip (db_config.py:46-54): first sighting of
                 # a media_ref wins; later rounds' repeats are dropped by

@@ -171,3 +171,31 @@ def test_record_parser_plan_quality(spark):
     assert n_python(_plan(QUERIES["r1_credit_query_parse"](spark, SF_DIR), "simple")) == 1
     p6 = _plan(QUERIES["r6_phone_attribution"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p6 and "SortMergeJoin" not in p6
+
+
+def test_documents_round_partition_pruning(spark, tmp_path):
+    """Documents are partitioned by fetch_round: reading one round's
+    documents must open ONLY that round's members (incremental-export
+    path for a downstream training-data pipeline)."""
+    from pyspark.sql import functions as F
+
+    from spider_spark import synth
+    from spider_spark.crawl import Crawler
+    from spider_spark.round import CrawlConfig
+
+    cfg = CrawlConfig(n_hosts=8, page_space=150, fetch_partitions=2, use_bloom=False)
+    c = Crawler(spark, str(tmp_path), cfg)
+    c.bootstrap(synth.seed_list(spark, 30, 8, 150), synth.hosts_config(spark, 8))
+    c.run_rounds(3, expire_keep=10)
+    docs = c.store.read("documents")
+    rounds = {r["fetch_round"] for r in docs.select("fetch_round").distinct().collect()}
+    assert len(rounds) >= 2
+    target = max(rounds)
+    scan = docs.filter(F.col("fetch_round") == target)
+    plan = _plan(scan)
+    assert f"fetch_round={target}" in plan
+    other = min(rounds)
+    assert f"fetch_round={other}/" not in plan and f"fetch_round={other}]" not in plan, (
+        "other rounds' members must be pruned from the plan"
+    )
+    assert scan.count() > 0
