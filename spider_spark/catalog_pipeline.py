@@ -221,8 +221,12 @@ def d2_minhash_lsh_pairs(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     planted = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    # max_bucket_size=None: the every-doc oracle must hold even when a
+    # text repeats more than cap/2 times (planted ids are the highest in
+    # a bucket and a cap would drop them); production paths keep the cap.
     return minhash_dedup(
-        d.unionByName(planted), num_perm=32, bands=8, k=5, threshold=0.8
+        d.unionByName(planted), num_perm=32, bands=8, k=5, threshold=0.8,
+        max_bucket_size=None,
     ).filter((F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 1_000_000))
 
 
@@ -244,7 +248,8 @@ def d3_simhash_pairs(spark, sf_dir):
     )
     planted = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     sigs = simhash_signatures(d.unionByName(planted))
-    return simhash_near_pairs(sigs, max_hamming=3).filter(
+    # uncapped buckets: see d2's note — planted-copy oracle vs bucket cap
+    return simhash_near_pairs(sigs, max_hamming=3, max_bucket_size=None).filter(
         (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 1_000_000)
     )
 
@@ -402,7 +407,10 @@ def d5_embedding_near_dup(spark, sf_dir):
         F.col("vec_id").cast("long").alias("vec_id"), "embedding"
     )
     planted = e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
-    return embedding_near_pairs(e.unionByName(planted), threshold=0.99).filter(
+    # uncapped buckets: see d2's note — planted-copy oracle vs bucket cap
+    return embedding_near_pairs(
+        e.unionByName(planted), threshold=0.99, max_bucket_size=None
+    ).filter(
         (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 1_000_000)
     )
 

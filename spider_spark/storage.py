@@ -196,6 +196,23 @@ class TableStore:
             out = out.unionByName(p)
         return out
 
+    def _check_schema(self, table: str, df: DataFrame, manifest: dict, what: str) -> None:
+        """Fail fast when an incoming frame's columns don't match the
+        committed manifest schema — without this an append with an extra
+        column (e.g. toggling keep_raw_body on an existing documents
+        table) would be silently truncated on read, and a missing column
+        would read back as nulls (ADVICE r2)."""
+        have = [f.name for f in df.schema.fields]
+        want = manifest["columns"]
+        if sorted(have) != sorted(want):
+            extra = sorted(set(have) - set(want))
+            missing = sorted(set(want) - set(have))
+            raise ValueError(
+                f"{what} to table '{table}': schema mismatch vs committed manifest "
+                f"(extra columns {extra}, missing columns {missing}); "
+                f"evolve the table with write() to change its schema"
+            )
+
     # ------------------------------------------------------------ write paths
     def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
         """Full-snapshot write: one new segment is the whole table.
@@ -222,6 +239,7 @@ class TableStore:
         pcol = prev.get("partition_col")
         if partition_by and partition_by[0] != pcol:
             raise ValueError(f"append partition spec {partition_by} != table spec {pcol}")
+        self._check_schema(table, df, prev, "append")
         v = self._next_version(table)
         new_members = self._write_segment(table, v, df, [pcol] if pcol else None)
         schema = StructType.fromJson(json.loads(prev["schema"]))
@@ -253,7 +271,14 @@ class TableStore:
         are read, merged, and rewritten — O(live+delta), not O(table).
         Updates may still INSERT rows whose partition value is terminal
         (a pending row transitioning to fetched lands in the new
-        segment's fetched subdir)."""
+        segment's fetched subdir).
+
+        RESTRICTION: ``delete_keys`` applies only to the merged live
+        slice — a delete key whose row lives in an immutable partition
+        would survive (that member is carried by reference, never read).
+        Callers must only delete keys from live partitions; the engine
+        upholds this by construction (terminal frontier rows are never
+        re-dequeued, so never re-deleted — CLAUDE.md invariant)."""
         if not self.exists(table):
             merged = updates
             if delete_keys is not None:
@@ -264,6 +289,7 @@ class TableStore:
         immutable = set(immutable_partitions or [])
         if immutable and pcol is None:
             raise ValueError("immutable_partitions requires a partitioned table")
+        self._check_schema(table, updates, prev, "merge_upsert")
         base = self._read_members(table, prev, skip_values=immutable or None)
         merged = base.join(updates.select(key), on=key, how="left_anti").unionByName(updates)
         if delete_keys is not None:

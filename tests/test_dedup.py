@@ -132,3 +132,27 @@ def test_embedding_near_pairs_recovers_planted_vectors(spark):
     expected = {(r["vec_id"], r["vec_id"] + 1_000_000) for r in emb.collect()}
     assert expected <= set(got)
     assert all(got[p] == 1.0 for p in expected)
+
+
+def test_null_text_docs_keep_rows(spark):
+    """NULL text must not vanish from signature stages (ADVICE r2): both
+    minhash and simhash emit a signature row for a NULL-text doc."""
+    from spider_spark.functions.dedup import minhash_signatures, simhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    assert simhash_signatures(df).count() == 3
+    assert minhash_signatures(df, num_perm=8).count() == 3
+    # NULL and '' coalesce to the same signature (deterministic)
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    assert sigs[2] == sigs[3]
+
+
+def test_embedding_near_pairs_empty_input(spark):
+    from spider_spark.functions.dedup import embedding_near_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = embedding_near_pairs(empty)
+    assert out.count() == 0
+    assert set(out.columns) == {"id_a", "id_b", "cos_sim"}

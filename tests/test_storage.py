@@ -236,3 +236,17 @@ def test_store_random_ops_match_model(spark, tmp_path):
                 st.restore_last_committed()
                 model = dict(committed_model)
         check()
+
+
+def test_append_schema_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    st = TableStore(spark, str(tmp_path))
+    st.write("t", spark.createDataFrame([(1, "a")], ["k", "v"]))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        st.append("t", spark.createDataFrame([(2, "b", 9)], ["k", "v", "extra"]))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        st.merge_upsert("t", spark.createDataFrame([(2,)], ["k"]), key="k")
+    # matching column set in a different order is fine
+    st.append("t", spark.createDataFrame([("b", 2)], ["v", "k"]).select("v", "k"))
+    assert st.read("t").count() == 2
