@@ -192,6 +192,94 @@ def r5_operator_note_records(spark, sf_dir):
 
 
 @q(
+    "r7_credit_guarantee_parse",
+    """SELECT CAST(s_suppkey AS BIGINT) AS doc_id,
+              CAST(s_suppkey AS VARCHAR) AS query_id, s_name AS guarantor,
+              '2016-04-01' AS guarantee_date, s_name || '市' AS guarantee_place,
+              '身份证' AS card_type, lpad(CAST(s_suppkey AS VARCHAR), 9, '0') AS card_num,
+              '房贷' AS loan_type, CAST(s_nationkey AS VARCHAR) AS loan_count,
+              CAST(s_suppkey AS VARCHAR) AS guarantee_count,
+              '2020-12' AS due_date, CAST(s_nationkey AS VARCHAR) AS balance
+       FROM supplier""",
+)
+def r7_credit_guarantee_parse(spark, sf_dir):
+    """t_credit_guarantee harvest (t_credit.sql:59-74): the reference
+    declares this DDL but ships no parser — the sliced-table parse
+    (rows[3:-1], 11 cells zipped with the DDL column order) exceeds its
+    surface.  Construct→parse→project identity oracle per supplier."""
+    from .records_html import credit_guarantee_records
+
+    s = _t(spark, sf_dir, "supplier")
+    cells = [
+        F.col("s_suppkey").cast("string"),
+        F.col("s_name"),
+        F.lit("2016-04-01"),
+        F.concat(F.col("s_name"), F.lit("市")),
+        F.lit("身份证"),
+        F.lpad(F.col("s_suppkey").cast("string"), 9, "0"),
+        F.lit("房贷"),
+        F.col("s_nationkey").cast("string"),
+        F.col("s_suppkey").cast("string"),
+        F.lit("2020-12"),
+        F.col("s_nationkey").cast("string"),
+    ]
+    hdr = "<tr><td>头部</td></tr><tr><td>明细</td></tr><tr><td>序号</td></tr>"
+    foot = "<tr><td>合计</td></tr>"
+    row = F.concat(F.lit("<tr>"), *[_td(c) for c in cells], F.lit("</tr>"))
+    body = F.concat(
+        F.lit("<html><body><table><tr><td>filler</td></tr></table><table>"),
+        F.lit(hdr), row, F.lit(foot), F.lit("</table></body></html>"),
+    )
+    docs = s.select(F.col("s_suppkey").cast("long").alias("doc_id"), body.alias("body"))
+    return credit_guarantee_records(docs, table_idx=1)
+
+
+@q(
+    "r8_credit_enforce_parse",
+    """SELECT CAST(o_orderkey AS BIGINT) AS doc_id,
+              CAST(o_orderkey AS VARCHAR) AS query_id,
+              o_orderstatus || '法院' AS exe_court,
+              '（' || CAST(o_orderkey AS VARCHAR) || '）号' AS case_no,
+              o_orderpriority AS exe_reason, '和解' AS closed_way,
+              strftime(o_orderdate, '%Y-%m-%d') AS filing_time,
+              '已结案' AS case_status, '执行标的' AS app_exe, '已执行' AS executed,
+              CAST(o_custkey AS VARCHAR) AS app_exe_amt,
+              CAST(o_orderkey AS VARCHAR) AS executed_amt,
+              '2016-05-01' AS closed_time
+       FROM orders WHERE o_orderkey <= 5000""",
+)
+def r8_credit_enforce_parse(spark, sf_dir):
+    """t_credit_enforce harvest (t_credit.sql:80-97): DDL-without-parser
+    in the reference, same sliced-table identity-oracle scheme as r7."""
+    from .records_html import credit_enforce_records
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    cells = [
+        F.col("o_orderkey").cast("string"),
+        F.concat(F.col("o_orderstatus"), F.lit("法院")),
+        F.concat(F.lit("（"), F.col("o_orderkey").cast("string"), F.lit("）号")),
+        F.col("o_orderpriority"),
+        F.lit("和解"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit("已结案"),
+        F.lit("执行标的"),
+        F.lit("已执行"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("2016-05-01"),
+    ]
+    hdr = "<tr><td>头部</td></tr><tr><td>明细</td></tr><tr><td>序号</td></tr>"
+    foot = "<tr><td>合计</td></tr>"
+    row = F.concat(F.lit("<tr>"), *[_td(c) for c in cells], F.lit("</tr>"))
+    body = F.concat(
+        F.lit("<html><body><table><tr><td>filler</td></tr></table><table>"),
+        F.lit(hdr), row, F.lit(foot), F.lit("</table></body></html>"),
+    )
+    docs = o.select(F.col("o_orderkey").cast("long").alias("doc_id"), body.alias("body"))
+    return credit_enforce_records(docs, table_idx=1)
+
+
+@q(
     "p12_param_validation",
     """SELECT c_custkey AS cust_id, c_name, c_acctbal,
               'acctbal_nonneg' AS violation

@@ -160,6 +160,45 @@ def credit_person_record(
     return dates.join(info, list(id_cols), "inner")
 
 
+# ----------------------------------------------- guarantee / enforce
+
+# t_credit.sql:59-74 column order.  The reference ships this DDL with NO
+# parser (claw_report.py parses only query/card/person tables); the
+# sliced-table parse here exceeds the reference's own parse surface.
+CREDIT_GUARANTEE_KEYS = (
+    "query_id", "guarantor", "guarantee_date", "guarantee_place",
+    "card_type", "card_num", "loan_type", "loan_count",
+    "guarantee_count", "due_date", "balance",
+)
+
+# t_credit.sql:80-97 column order (same DDL-without-parser situation)
+CREDIT_ENFORCE_KEYS = (
+    "query_id", "exe_court", "case_no", "exe_reason", "closed_way",
+    "filing_time", "case_status", "app_exe", "executed",
+    "app_exe_amt", "executed_amt", "closed_time",
+)
+
+
+def credit_guarantee_records(
+    docs: DataFrame, body_col: str = "body", id_cols: tuple = ("doc_id",), table_idx: int = 9
+) -> DataFrame:
+    """t_credit_guarantee (t_credit.sql:59-74): guarantee-for-others table
+    sliced with the standard rows[3:-1] report layout."""
+    return sliced_table_records(
+        docs, body_col, table_idx, CREDIT_GUARANTEE_KEYS, id_cols=id_cols
+    )
+
+
+def credit_enforce_records(
+    docs: DataFrame, body_col: str = "body", id_cols: tuple = ("doc_id",), table_idx: int = 10
+) -> DataFrame:
+    """t_credit_enforce (t_credit.sql:80-97): court-enforcement table
+    sliced with the standard rows[3:-1] report layout."""
+    return sliced_table_records(
+        docs, body_col, table_idx, CREDIT_ENFORCE_KEYS, id_cols=id_cols
+    )
+
+
 # ------------------------------------------------------------ operator user/note
 
 # columns.py:9-18 (china_unicom KEY_CONVERT_USER)
