@@ -113,3 +113,10 @@ def host_col(url: Column) -> Column:
 def url_hash_col(url: Column) -> Column:
     """64-bit stable hash of the canonical URL (JVM xxhash64, seed 42)."""
     return F.xxhash64(url)
+
+
+def bucket_col(hash_col: Column, n_buckets: int) -> Column:
+    """Storage bucket of a 64-bit key: pmod(hash, N) — the partition
+    column of the seen/media tables, so exact-dedup anti-joins prune to
+    candidate buckets at the manifest level (storage.read_partitions)."""
+    return F.pmod(hash_col, F.lit(n_buckets)).cast("int")

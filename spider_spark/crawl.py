@@ -73,7 +73,8 @@ class Crawler:
             self.spark.createDataFrame([], FRONTIER).unionByName(frontier0),
             partition_by=["state"],
         )
-        self.store.write("seen", frontier0.select("url_hash", "url"))
+        self.store.write("seen", self._with_seen_bucket(frontier0.select("url_hash", "url")),
+                         partition_by=["seen_bucket"] if self.cfg.seen_buckets else None)
         self.store.write("hosts", hosts)
         self.store.write("host_state", self.spark.createDataFrame([], HOST_STATE))
         self.store.write("lineage", self.spark.createDataFrame([], LINEAGE))
@@ -92,6 +93,18 @@ class Crawler:
             self.bloom = self._make_filter()
             self.bloom.update_from_df(self.spark, self.store.read("seen"))
         return rid
+
+    # ------------------------------------------------------------ buckets
+    def _with_seen_bucket(self, df: DataFrame) -> DataFrame:
+        if not self.cfg.seen_buckets:
+            return df
+        return df.withColumn(
+            "seen_bucket", canon.bucket_col(F.col("url_hash"), self.cfg.seen_buckets)
+        )
+
+    def _seen_reader(self, bucket_values) -> DataFrame:
+        """Manifest-pruned seen scan for the round's exact anti-join."""
+        return self.store.read_partitions("seen", bucket_values)
 
     # ------------------------------------------------------------ rounds
     def _materialize(self, name: str, df: DataFrame) -> DataFrame:
@@ -119,6 +132,7 @@ class Crawler:
                 self.bloom,
                 record_order=record_order,
                 materialize=self._materialize,
+                seen_reader=self._seen_reader if self.cfg.seen_buckets else None,
             )
             if res.dequeued == 0:
                 # empty round: advance the clock (retry rows may be backed
@@ -162,12 +176,23 @@ class Crawler:
                 # the anti-join, and the append writes only the new rows
                 delta = out["media_delta"]
                 if self.store.exists("media"):
+                    if self.cfg.media_buckets:
+                        # bucket-pruned dup-skip: only the media buckets
+                        # this round's refs hash into are opened
+                        cand_b = [
+                            r["media_bucket"]
+                            for r in delta.select("media_bucket").distinct().collect()
+                        ]
+                        prior = self.store.read_partitions("media", cand_b)
+                    else:
+                        prior = self.store.read("media")
                     delta = delta.join(
-                        self.store.read("media").select("media_ref"),
-                        "media_ref",
-                        "left_anti",
+                        prior.select("media_ref"), "media_ref", "left_anti"
                     )
-                self.store.append("media", delta)
+                self.store.append(
+                    "media", delta,
+                    partition_by=["media_bucket"] if self.cfg.media_buckets else None,
+                )
             self.store.merge_upsert("host_state", out["host_updates"], key="host")
             self.store.append("lineage", out["lineage"])
             if self.bloom is not None and res.new_urls:
@@ -235,7 +260,7 @@ class Crawler:
                 "frontier", rows, key="url_hash", partition_by=["state"],
                 immutable_partitions=["fetched", "dead"],
             )
-            self.store.append("seen", lost.select("url_hash", "url"))
+            self.store.append("seen", self._with_seen_bucket(lost.select("url_hash", "url")))
             if self.bloom is not None:
                 self.bloom.update_from_df(self.spark, lost.select("url_hash"))
             self.store.commit_round(rid, extra={"audit": n_lost})

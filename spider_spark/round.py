@@ -51,6 +51,13 @@ class CrawlConfig:
     # saveImage/file-sink analog, share_func.py:224-249) with dup-key
     # skip — first sighting wins, like the reference's unique-key insert
     write_media_table: bool = False
+    # seen/media tables are bucketed by pmod(hash, N) so the per-round
+    # exact dedup anti-joins read only candidate buckets (manifest-level
+    # pruning) instead of the whole ever-grown key set; 0 disables.
+    # At 10^10 URLs size so one bucket's parquet fits an executor scan
+    # (e.g. 4096 buckets ≈ 2.4M keys/bucket).
+    seen_buckets: int = 16
+    media_buckets: int = 16
     extra: dict = field(default_factory=dict)
 
 
@@ -77,9 +84,16 @@ def run_round(
     bloom: bloom_mod.ShardedBloom | None,
     record_order: bool = False,
     materialize=None,
+    seen_reader=None,
 ) -> tuple[RoundResult, dict[str, DataFrame]]:
     """Pure-transform round: takes current table DataFrames, returns the
     round result + the updated DataFrames (caller persists via storage).
+
+    ``seen_reader(bucket_values) -> DataFrame``, when provided, returns
+    the seen slice restricted to those pmod(url_hash, cfg.seen_buckets)
+    buckets (storage.read_partitions) — the exact anti-join then opens
+    only the buckets its candidates hash into.  Without it, ``seen_df``
+    is scanned whole (correct, just O(all-ever-seen) per round).
 
     ``materialize(name, df) -> DataFrame`` pins an intermediate for reuse
     across the round's several consumers.  The Crawler passes a
@@ -124,6 +138,11 @@ def run_round(
                 F.lit(round_id).cast("long").alias("first_seen_round"),
             )
         )
+        if cfg.media_buckets:
+            media_delta = media_delta.withColumn(
+                "media_bucket",
+                canon.bucket_col(F.xxhash64("media_ref"), cfg.media_buckets),
+            )
 
     # ---- link extraction -> robots -> dedup vs seen.  Links come out of
     # the fetch stage ALREADY canonical (canon.canonicalize_series runs
@@ -151,7 +170,24 @@ def run_round(
         definite_new, maybe_seen, bloom_bc = cuckoo_prefilter(spark, cand, bloom)
     else:
         definite_new, maybe_seen, bloom_bc = bloom_mod.bloom_prefilter(spark, cand, bloom)
-    checked_new = maybe_seen.join(seen_df.select("url_hash"), "url_hash", "left_anti")
+    if seen_reader is not None and cfg.seen_buckets:
+        # bucket-pruned exact check: collect the candidate buckets (a
+        # bounded-size distinct over the post-Bloom survivors, reading
+        # only the cached cand) and open just those seen members.
+        # Correctness is unchanged — a bucket with no candidate hash
+        # cannot produce an anti-join match.
+        cand_buckets = [
+            r["b"]
+            for r in maybe_seen.select(
+                canon.bucket_col(F.col("url_hash"), cfg.seen_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        seen_scan = seen_reader(cand_buckets)
+    else:
+        seen_scan = seen_df
+    checked_new = maybe_seen.join(seen_scan.select("url_hash"), "url_hash", "left_anti")
     new_links = definite_new.unionByName(checked_new).cache()
 
     # ---- MERGE-able outputs
@@ -159,6 +195,10 @@ def run_round(
     new_rows = frontier.new_frontier_rows(new_links, round_id)
     frontier_updates = updates.unionByName(new_rows).select([f.name for f in FRONTIER.fields])
     seen_delta = new_links.select("url_hash", "url")
+    if cfg.seen_buckets:
+        seen_delta = seen_delta.withColumn(
+            "seen_bucket", canon.bucket_col(F.col("url_hash"), cfg.seen_buckets)
+        )
     host_updates = politeness.quarantine_updates(results, round_id)
 
     # ---- metrics (A1/A5 analog: per-batch valid/invalid counts ->

@@ -65,10 +65,14 @@ FRONTIER = T.StructType(
     ]
 )
 
+# seen is BUCKETED: partitioned by pmod(url_hash, cfg.seen_buckets) so
+# the per-round exact anti-join prunes to candidate buckets at the
+# manifest level and compaction stays per-bucket (VERDICT r2 #4).
 SEEN = T.StructType(
     [
         T.StructField("url_hash", T.LongType()),
         T.StructField("url", T.StringType()),
+        T.StructField("seen_bucket", T.IntegerType()),
     ]
 )
 
