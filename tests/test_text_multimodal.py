@@ -77,3 +77,56 @@ def test_html_to_spans_roundtrip(spark):
     df = spark.createDataFrame([(html,)], ["body"])
     got = df.select(html_to_spans_udf(F.col("body")).alias("spans")).first()["spans"]
     assert [(s["kind"], s["offset"]) for s in got] == [(s["kind"], s["offset"]) for s in spans]
+
+
+def _fingerprint_rows_reference(texts, window=16):
+    """Round-2 per-row formulation, kept as the golden for the
+    batch-vectorized _rolling_fingerprint."""
+    import numpy as np
+    import pandas as pd
+
+    out = np.zeros(len(texts), dtype=np.uint64)
+    base = np.uint64(257)
+    for i, t in enumerate(pd.Series(texts).fillna("")):
+        if len(t) < window:
+            h = np.uint64(0)
+            for ch in t:
+                h = h * base + np.uint64(ord(ch) & 0xFF)
+            out[i] = h
+            continue
+        a = np.frombuffer(t.encode("utf-8", "ignore")[: 1 << 16], dtype=np.uint8).astype(np.uint64)
+        if len(a) < window:
+            out[i] = a.sum()
+            continue
+        pows = np.power(base, np.arange(window, dtype=np.uint64))
+        windows = np.lib.stride_tricks.sliding_window_view(a, window)
+        out[i] = (windows * pows[::-1]).sum(axis=1).min()
+    return pd.Series(out.view(np.int64))
+
+
+def test_vectorized_fingerprint_matches_row_golden(monkeypatch):
+    import random
+
+    import pandas as pd
+
+    from spider_spark.functions import text as T
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "δοκιμή", "漢字", "x", ""]
+    cases = [None, "", "a", "short doc", "exactly sixteen!", "exactly sixteen!!"]
+    for _ in range(200):
+        n = rng.randrange(0, 60)
+        cases.append(" ".join(rng.choice(words) for _ in range(n)))
+    cases.append("z" * 100_000)          # > byte cap
+    cases.append("漢" * 40)               # multi-byte
+    cases.append("\ud800" * 20)          # lone surrogates -> utf-8 ignore shrinks
+    s = pd.Series(cases, dtype="object")
+
+    got = T._rolling_fingerprint(s)
+    want = _fingerprint_rows_reference(s)
+    assert got.tolist() == want.tolist()
+
+    # force the multi-group path (memory-bounded flattening)
+    monkeypatch.setattr(T, "_FP_GROUP_BYTES", 64)
+    got2 = T._rolling_fingerprint(s)
+    assert got2.tolist() == want.tolist()
