@@ -45,7 +45,21 @@ def entry(spark: SparkSession) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="spider_spark_entry_")
     crawler = Crawler(spark, workdir, cfg)
     crawler.bootstrap(seeds, hosts)
-    crawler.run_rounds(3)
+    crawler.run_rounds(2)
+    # robots.txt refresh cycle mid-crawl (north-rule robots cache): h1
+    # republishes its robots with a new disallow; the cached hosts row is
+    # MERGE-refreshed and round 3's dequeue + link-enqueue both respect
+    # it (frontier.dequeue recheck — queued /p2* URLs on h1 stay pending,
+    # mirrored in refsim.simulate host_updates).  Crawl-delay/cap match
+    # synth's h1 config so ONLY the disallow changes.
+    from spider_spark.robots import hosts_from_robots
+
+    robots_fetch = spark.createDataFrame(
+        [("h1.example", "User-agent: *\nDisallow: /p2\nCrawl-delay: 1")],
+        ["host", "robots_txt"],
+    )
+    crawler.update_hosts(hosts_from_robots(robots_fetch, default_cap=10))
+    crawler.run_rounds(1)
     frontier = crawler.frontier_df()
     return (
         frontier.groupBy("host")

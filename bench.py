@@ -36,6 +36,56 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def cpu_probe(n: int = 2_000_000) -> float:
+    """~0.3s single-thread CPU-rate sample (element-ops/sec).  The
+    sandbox's bursty co-tenant interference (CLAUDE.md perf rule 4) shows
+    up directly as a lower rate — used to detect degraded windows before
+    spending a scaling leg on them."""
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(n)
+    t0 = time.monotonic()
+    s = 0.0
+    for _ in range(3):
+        s += float(np.sqrt(a * a + 1.0).sum())
+    return n * 3 / (time.monotonic() - t0)
+
+
+_PROBE_BEST = 0.0
+
+
+def probe_once() -> float:
+    global _PROBE_BEST
+    r = cpu_probe()
+    _PROBE_BEST = max(_PROBE_BEST, r)
+    return r
+
+
+def wait_for_quiet(budget: float, threshold: float = 0.75) -> bool:
+    """Sample the box until the current CPU rate is within `threshold` of
+    the best rate seen this run AND above an absolute clean-floor, or
+    `budget` seconds elapse.  The floor matters when the whole bench
+    starts inside a degraded window: best-so-far is then itself degraded
+    and the relative test passes trivially.  Measured on this VM: clean
+    single-thread rate ~140 Mops, degraded windows 1.5-3 Mops — 40 Mops
+    splits them with a wide margin.  Interference comes in ~10-20 min
+    waves; a short wait often lands a clean window.  Returns True if the
+    box looked quiet when we stopped waiting."""
+    floor = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR_MOPS", "40")) * 1e6
+    t0 = time.monotonic()
+    while True:
+        r = probe_once()
+        if r >= threshold * _PROBE_BEST and r >= floor:
+            return True
+        if time.monotonic() - t0 > budget:
+            log(f"  probe: still degraded ({r / 1e6:.0f} vs best "
+                f"{_PROBE_BEST / 1e6:.0f} Mops) after {budget:.0f}s wait")
+            return False
+        log(f"  probe: degraded window ({r / 1e6:.0f} vs best "
+            f"{_PROBE_BEST / 1e6:.0f} Mops); waiting 15s")
+        time.sleep(15)
+
+
 def make_spark(cores: int):
     from spider_spark.session import get_spark
 
@@ -295,6 +345,10 @@ def main():
         print(json.dumps(wave), flush=True)
         return
 
+    # seed the interference-probe baseline before any heavy work: the
+    # cleanest samples usually come before the box is loaded
+    probe_once()
+    probe_once()
     spark = make_spark(cpus)
     log(f"bench: frontier wave at local[{cpus}], {n_frontier} rows")
     wave = frontier_wave(spark, n_frontier, cpus)
@@ -323,6 +377,22 @@ def main():
         # workers fit its host, which is what this pair emulates.
         small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "2"))
         big = int(os.environ.get("SPARK_GRAFT_SCALE_BIG", "8"))
+        # pre-flight interference gate (VERDICT r2 #2): don't spend a leg
+        # on a window the probe can see is degraded.  Total wait budget
+        # across all legs/retries; each wait is capped at 120s.
+        quiet_budget = float(os.environ.get("SPARK_GRAFT_QUIET_BUDGET", "420"))
+        quiet_spent = [0.0]
+        n_waits = [0]
+
+        def quiet_gate():
+            remaining = quiet_budget - quiet_spent[0]
+            if remaining <= 0:
+                return
+            t0 = time.monotonic()
+            if not wait_for_quiet(min(120.0, remaining)):
+                n_waits[0] += 1
+            quiet_spent[0] += time.monotonic() - t0
+
         thr = {}
         errs = {}
         # counts are input-determined; reusable only when the scaling legs
@@ -334,6 +404,7 @@ def main():
         )
         def leg(c, reps):
             nonlocal pre_counts
+            quiet_gate()
             log(f"bench: scaling run local[{c}] (fresh JVM)")
             w = wave_subprocess(c, scale_frontier, counts=pre_counts, reps=reps)
             pre_counts = f"{w['dequeued']},{w['candidates']},{w['new_urls']}"
@@ -348,12 +419,12 @@ def main():
         # -> rerun small; < 0.8 usually means the big leg got hit ->
         # rerun big.  Stop when the pair is plausible or retries run out,
         # and say which in the JSON.
-        tries = int(os.environ.get("SPARK_GRAFT_SCALE_TRIES", "4"))
+        tries = int(os.environ.get("SPARK_GRAFT_SCALE_TRIES", "6"))
         # hard wall-clock budget for the RETRY phase: when the whole box
         # is throttled every leg runs 3-6x slow and retries cannot
         # converge — stop burning time and ship the flagged pair (the
         # JSON line must always print)
-        retry_budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "600"))
+        retry_budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "900"))
         attempts = 0
         try:
             thr[big] = leg(big, 1)
@@ -384,6 +455,10 @@ def main():
             "urls_per_sec_small": thr.get(small),
             "urls_per_sec_big": thr.get(big),
             "retries": attempts,
+            "pinned": bool(__import__("shutil").which("taskset")),
+            "probe_best_mops": round(_PROBE_BEST / 1e6, 1),
+            "probe_wait_sec": round(quiet_spent[0], 1),
+            "probe_waits_timed_out": n_waits[0],
         }
         if small in thr and big in thr:
             eff = round((thr[big] / thr[small]) / (big / small), 3)

@@ -29,15 +29,23 @@ class Crawler:
         self.bloom = self._make_filter()
 
     def _make_filter(self):
-        """Seen-prefilter per config: bloom (default) or cuckoo.  Both
-        expose update_from_df/maybe_contains; the filter only changes
-        WHICH candidates skip the exact anti-join, never the result."""
+        """Seen-prefilter per config: bloom (default), cuckoo, or
+        bloom-dist (store-backed shards for filters too big for the
+        driver/broadcast).  All expose update_from_df; the filter only
+        changes WHICH candidates skip the exact anti-join, never the
+        result."""
         if not self.cfg.use_bloom:
             return None
         if self.cfg.filter_kind == "cuckoo":
             from .cuckoo import ShardedCuckoo
 
             return ShardedCuckoo(self.cfg.cuckoo_buckets)
+        if self.cfg.filter_kind == "bloom-dist":
+            from .bloom import DistributedBloom
+
+            return DistributedBloom(
+                self.spark, self.store, self.cfg.bloom_shards, self.cfg.bloom_bits
+            )
         return ShardedBloom(self.cfg.bloom_shards, self.cfg.bloom_bits)
 
     # ------------------------------------------------------------ bootstrap
@@ -85,13 +93,16 @@ class Crawler:
     # ------------------------------------------------------------ resume
     def resume(self) -> int:
         """Roll back to the last committed manifest; rebuild the Bloom
-        side-structure from the (authoritative) seen table."""
+        side-structure from the (authoritative) seen table.  A persistent
+        filter (DistributedBloom) lives in a store table whose pointer
+        the rollback already restored — no rebuild."""
         rid = self.store.restore_last_committed()
         if rid is None:
             raise RuntimeError("nothing to resume: no committed rounds")
         if self.cfg.use_bloom:
             self.bloom = self._make_filter()
-            self.bloom.update_from_df(self.spark, self.store.read("seen"))
+            if not getattr(self.bloom, "persistent", False):
+                self.bloom.update_from_df(self.spark, self.store.read("seen"))
         return rid
 
     # ------------------------------------------------------------ buckets

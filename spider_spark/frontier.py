@@ -30,6 +30,7 @@ def dequeue(
     elig_hosts: DataFrame,
     round_id: int,
     global_cap: int | None = None,
+    hosts_df: DataFrame | None = None,
 ) -> DataFrame:
     """One round's fetch batch.
 
@@ -37,10 +38,22 @@ def dequeue(
     host, ranked (priority, next_fetch_time, url) per host, capped at the
     host's max_concurrent, then optionally capped globally by the same
     total order.
+
+    ``hosts_df`` (with disallow_prefixes) enables the dequeue-time robots
+    recheck: a robots refresh (Crawler.update_hosts) must also stop
+    QUEUED-but-unfetched URLs, not just future enqueues.  The filter runs
+    BEFORE the per-host ranking so a newly-disallowed row never consumes
+    a max_concurrent slot.  With a static robots config it is a no-op
+    (every pending row already passed the enqueue-time filter), so crawl
+    parity under fixed hosts is unchanged.  Mirrored in refsim.simulate.
     """
     cand = frontier.filter(
         F.col("state").isin("pending", "retry") & (F.col("next_fetch_time") <= F.lit(round_id))
     ).join(elig_hosts, "host")
+    if hosts_df is not None:
+        from . import politeness
+
+        cand = politeness.robots_allowed(cand, hosts_df)
     w = Window.partitionBy("host").orderBy(*[F.col(c).asc() for c in ORDER_COLS])
     ranked = (
         cand.withColumn("_rk", F.row_number().over(w))

@@ -71,8 +71,15 @@ def simulate(
     hosts: dict[str, dict],  # host -> {crawl_delay, max_concurrent, disallow_prefixes}
     cfg: SimConfig,
     n_rounds: int,
+    host_updates: dict[int, dict[str, dict]] | None = None,
 ) -> SimResult:
+    """``host_updates[r]`` patches the hosts config at the START of round
+    r — the robots-refresh cycle (Crawler.update_hosts between
+    run_rounds calls).  A refreshed disallow applies both to new-link
+    enqueue AND to already-pending rows at dequeue time, mirroring the
+    engine's dequeue-time robots recheck (frontier.dequeue)."""
     res = SimResult()
+    hosts = dict(hosts)
     frontier: dict[str, Row] = {}
     # bootstrap == Crawler.bootstrap: dedup min-priority, robots filter
     best: dict[str, int] = {}
@@ -88,6 +95,9 @@ def simulate(
     quarantined: set[str] = set()
 
     for r in range(1, n_rounds + 1):
+        if host_updates and r in host_updates:
+            hosts.update(host_updates[r])
+
         # ---- eligibility (politeness.eligible_hosts)
         def host_ok(h: str) -> bool:
             if h in quarantined or h not in hosts:
@@ -98,7 +108,10 @@ def simulate(
         cand = [
             row
             for row in frontier.values()
-            if row.state in ("pending", "retry") and row.next_fetch <= r and host_ok(row.host)
+            if row.state in ("pending", "retry")
+            and row.next_fetch <= r
+            and host_ok(row.host)
+            and _allowed(row.url, hosts)  # dequeue-time robots recheck
         ]
         # ---- per-host rank + cap, then global cap (frontier.dequeue)
         cand.sort(key=lambda x: (x.priority, x.next_fetch, x.url))

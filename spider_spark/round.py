@@ -107,7 +107,7 @@ def run_round(
         materialize = lambda name, df: df.cache()  # noqa: E731
 
     elig = politeness.eligible_hosts(hosts_df, host_state_df, round_id)
-    batch = frontier.dequeue(frontier_df, elig, round_id, cfg.global_cap)
+    batch = frontier.dequeue(frontier_df, elig, round_id, cfg.global_cap, hosts_df=hosts_df)
 
     results = materialize(
         "_round_results",
@@ -168,6 +168,8 @@ def run_round(
 
     if isinstance(bloom, ShardedCuckoo):
         definite_new, maybe_seen, bloom_bc = cuckoo_prefilter(spark, cand, bloom)
+    elif isinstance(bloom, bloom_mod.DistributedBloom):
+        definite_new, maybe_seen, bloom_bc = bloom.prefilter(cand)
     else:
         definite_new, maybe_seen, bloom_bc = bloom_mod.bloom_prefilter(spark, cand, bloom)
     if seen_reader is not None and cfg.seen_buckets:

@@ -95,3 +95,74 @@ def test_span_invariant_holds(crawled):
 
     crawler, _, _ = crawled
     assert span_invariant_violations(crawler.store.read("documents")).count() == 0
+
+
+# ---------------------------------------------------------------- robots refresh
+@pytest.fixture(scope="module")
+def crawled_with_robots_refresh(spark, tmp_path_factory):
+    """2 rounds, then h1 republishes robots with a fresh ``Disallow: /p2``
+    (robots.hosts_from_robots -> Crawler.update_hosts), then 2 more
+    rounds.  The refresh must gate BOTH round-3+ link enqueue and
+    already-queued h1 /p2* rows at dequeue time (frontier.dequeue
+    recheck), exactly as refsim.simulate applies host_updates."""
+    from spider_spark.robots import hosts_from_robots
+
+    cfg = CrawlConfig(
+        n_hosts=N_HOSTS, page_space=PAGE_SPACE, max_retries=2,
+        fetch_partitions=4, use_bloom=True, bloom_shards=4, bloom_bits=1 << 16,
+    )
+    seeds = synth.seed_list(spark, 120, N_HOSTS, PAGE_SPACE)
+    hosts = synth.hosts_config(spark, N_HOSTS)
+    crawler = Crawler(spark, str(tmp_path_factory.mktemp("crawl_rr")), cfg)
+    crawler.bootstrap(seeds, hosts)
+    results = crawler.run_rounds(2, record_order=True)
+    # h1's synth config is delay=1, cap=10; the robots body reproduces
+    # both so ONLY the disallow changes
+    refreshed = hosts_from_robots(
+        spark.createDataFrame(
+            [("h1.example", "User-agent: *\nDisallow: /p2\nCrawl-delay: 1")],
+            ["host", "robots_txt"],
+        ),
+        default_cap=10,
+    )
+    crawler.update_hosts(refreshed)
+    results += crawler.run_rounds(2, record_order=True)
+
+    patch = hosts_df_to_dict(refreshed)
+    sim = simulate(
+        [(r["url"], r["priority"]) for r in seeds.collect()],
+        hosts_df_to_dict(hosts),
+        SimConfig(n_hosts=N_HOSTS, page_space=PAGE_SPACE, max_retries=2),
+        4,
+        host_updates={3: patch},
+    )
+    return crawler, results, sim
+
+
+def test_robots_refresh_order_parity(crawled_with_robots_refresh):
+    _, results, sim = crawled_with_robots_refresh
+    assert len(results) == len(sim.crawl_order) == 4
+    for res, sim_batch in zip(results, sim.crawl_order):
+        assert res.batch_urls == sim_batch, f"round {res.round_id} order mismatch"
+
+
+def test_robots_refresh_seen_parity_and_discrimination(crawled_with_robots_refresh):
+    crawler, results, sim = crawled_with_robots_refresh
+    assert crawler.seen_urls() == sim.seen
+    # non-vacuous: h1 /p2* rows were queued before the refresh and must
+    # be pending-stuck after it, and rounds 3-4 fetch none of them
+    frontier = {r["url"]: r["state"] for r in crawler.frontier_df().collect()}
+    stuck = [u for u, s in frontier.items()
+             if u.startswith("http://h1.example/p2") and s == "pending"]
+    assert stuck, "fixture degenerate: no queued h1 /p2* URL at refresh time"
+    fetched_after = [u for res in results[2:] for u in res.batch_urls]
+    assert not [u for u in fetched_after if u.startswith("http://h1.example/p2")]
+    # and the refresh actually changed behavior vs a no-update run
+    sim_no_update = simulate(
+        [(r["url"], r["priority"]) for r in
+         synth.seed_list(crawler.spark, 120, N_HOSTS, PAGE_SPACE).collect()],
+        hosts_df_to_dict(synth.hosts_config(crawler.spark, N_HOSTS)),
+        SimConfig(n_hosts=N_HOSTS, page_space=PAGE_SPACE, max_retries=2),
+        4,
+    )
+    assert sim_no_update.seen != sim.seen or sim_no_update.crawl_order != sim.crawl_order

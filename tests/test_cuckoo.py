@@ -77,16 +77,19 @@ def test_cuckoo_prefilter_split(spark):
 
 
 def test_crawl_identical_under_any_seen_filter(spark, tmp_path):
-    """The seen-prefilter (none / bloom / cuckoo) is an optimization
-    only: final seen set and frontier states must be IDENTICAL across
-    all three (the invariant that makes false positives harmless)."""
+    """The seen-prefilter (none / bloom / cuckoo / bloom-dist) is an
+    optimization only: final seen set and frontier states must be
+    IDENTICAL across all of them (the invariant that makes false
+    positives harmless)."""
     from spider_spark import synth
     from spider_spark.crawl import Crawler
     from spider_spark.round import CrawlConfig
 
     n_hosts, page_space = 10, 200
     outs = {}
-    for kind, use in (("none", False), ("bloom", True), ("cuckoo", True)):
+    for kind, use in (
+        ("none", False), ("bloom", True), ("cuckoo", True), ("bloom-dist", True),
+    ):
         cfg = CrawlConfig(
             n_hosts=n_hosts, page_space=page_space, max_retries=2,
             fetch_partitions=4, use_bloom=use, bloom_shards=4,
@@ -103,4 +106,4 @@ def test_crawl_identical_under_any_seen_filter(spark, tmp_path):
             c.seen_urls(),
             {(r["url"], r["state"]) for r in c.frontier_df().collect()},
         )
-    assert outs["none"] == outs["bloom"] == outs["cuckoo"]
+    assert outs["none"] == outs["bloom"] == outs["cuckoo"] == outs["bloom-dist"]
