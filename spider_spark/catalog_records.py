@@ -341,3 +341,24 @@ def r6_phone_attribution(spark, sf_dir):
         carrier.alias("company_name"),
     )
     return phone_attribution(phones, dim, prefix_len=2)
+
+
+@q(
+    "m4_captcha_ocr",
+    """SELECT 'cap:' || CAST(s_suppkey AS VARCHAR) AS media_ref,
+              lpad(CAST(s_suppkey % 10000 AS VARCHAR), 4, '0') AS code
+       FROM supplier""",
+)
+def m4_captcha_ocr(spark, sf_dir):
+    """S4 captcha OCR (recogImage, share_func.py:56-66): render each
+    supplier's 4-digit code as a noisy synth captcha, binarize with the
+    reference's three-pass threshold, template-match it back — one fused
+    python stage; recognize∘render must be the identity per row."""
+    from .functions.ocr import render_recog_identity
+
+    s = _t(spark, sf_dir, "supplier")
+    df = s.select(
+        F.concat(F.lit("cap:"), F.col("s_suppkey").cast("string")).alias("media_ref"),
+        F.lpad((F.col("s_suppkey") % 10000).cast("string"), 4, "0").alias("code_in"),
+    )
+    return render_recog_identity(df)

@@ -110,7 +110,18 @@ def make_fetch_fn(
                 # validated list) — deterministic per partition, so a
                 # replayed round rides the same identities (T5)
                 proxy = proxies[pid % len(proxies)] if proxies else None
-                session = {"partition": pid, "fetches": 0, "proxy": proxy}
+                # S4 session acquisition: solve the partition's captcha
+                # challenge (render -> binarize -> template OCR, the
+                # recogImage pipeline share_func.py:56-66, retry <=3) —
+                # executor-local, never touches row results
+                from .functions.ocr import acquire_session_token
+
+                session = {
+                    "partition": pid,
+                    "fetches": 0,
+                    "proxy": proxy,
+                    "token": acquire_session_token(pid),
+                }
             h, p = simnet.parse_url_np(pdf["url"])
             k = simnet.page_key(h, p)
             status = simnet.status_of_key_np(k)
