@@ -617,7 +617,7 @@ GRADED_WINDOW = [
     "a6_distinct", "a7_throughput_by_day",
     # windows / sorts / limits
     "w1_ranked_dequeue", "w2_limit_dequeue", "w3_page_expand",
-    "w4_stable_chunking", "w5b_last6_months", "w6_sessionize", "w8_lag_delta",
+    "w4_stable_chunking", "w5b_last6_months", "w6_sessionize",
     # set ops
     "u2_except", "u3_union_all",
     # scalar functions
@@ -629,8 +629,8 @@ GRADED_WINDOW = [
     # dedup ladder
     "d1_exact_dedup", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
     "d4_ngram_jaccard", "d5_embedding_near_dup",
-    # similarity
-    "s1_cosine_topk",
+    # similarity / media
+    "s1_cosine_topk", "m4_captcha_ocr",
     # record-parser families
     "r1_credit_query_parse", "r2_credit_card_parse", "r3_phone_book_parse",
     "r4_operator_user_json", "r5_operator_note_records", "r6_phone_attribution",
