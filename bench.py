@@ -352,6 +352,12 @@ def main():
     # cleanest samples usually come before the box is loaded
     probe_once()
     probe_once()
+    # the headline wave deserves the same quiet-window gate as the
+    # scaling legs: if the bench starts inside a degraded co-tenant
+    # cycle (measured: probe 2-4 Mops vs ~100 clean), a short wait beats
+    # recording a 5-10x-throttled headline.  Capped — the JSON line must
+    # always print on schedule.
+    wait_for_quiet(float(os.environ.get("SPARK_GRAFT_HEADLINE_WAIT", "240")))
     spark = make_spark(cpus)
     log(f"bench: frontier wave at local[{cpus}], {n_frontier} rows")
     wave = frontier_wave(spark, n_frontier, cpus)
