@@ -90,15 +90,17 @@ def q3_top_orders(spark, sf_dir):
        JOIN supplier s ON l.l_suppkey = s.s_suppkey
        JOIN nation n ON s.s_nationkey = n.n_nationkey
        JOIN region r ON n.n_regionkey = r.r_regionkey
-       WHERE r.r_name = 'REGION_0'
+       WHERE r.r_name = 'ASIA'
        GROUP BY n.n_name""",
 )
 def q5_nation_revenue(spark, sf_dir):
-    """TPC-H-Q5 shape: snowflake join through two broadcastable dims."""
+    """TPC-H-Q5 shape: snowflake join through two broadcastable dims.
+    Filters on 'ASIA' — a region name present at every SF (round 3
+    filtered a nonexistent name and passed vacuously on 0 == 0 rows)."""
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -167,17 +169,29 @@ def w8_lag_delta(spark, sf_dir):
 @q(
     "f19_sorted_array_agg",
     """SELECT user_id,
-              list_sort(list(ROUND(value, 2))) AS values_sorted
+              array_to_string(list_transform(list_sort(list(ROUND(value, 2))),
+                                             x -> printf('%.2f', x)), ',') AS values_csv
        FROM events GROUP BY user_id""",
 )
 def f19_sorted_array_agg(spark, sf_dir):
     """Array aggregation with deterministic order (collect_list is
     unordered; array_sort pins it — same trick the engine uses to build
-    MinHash signatures)."""
+    MinHash signatures).  The sorted array is flattened to a fixed-format
+    CSV string: the driver's pandas canonicalizer sorts result cells and
+    cannot hash top-level array cells (round-3 TypeError), so graded
+    entries emit scalars only."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.array_sort(F.collect_list(F.round("value", 2))).alias("values_sorted"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.round("value", 2))),
+                    lambda v: F.format_string("%.2f", v),
+                ),
+                ",",
+            ).alias("values_csv")
+        )
     )
 
 

@@ -112,3 +112,48 @@ def test_formerly_vacuous_entries_discriminate(ddb):
 
     for name in ("j5_anti_seen", "u2_except"):
         assert len(ddb.sql(ORACLES[name]).fetchall()) > 0, name
+
+
+def test_window_queries_return_scalar_columns(spark):
+    """The driver's canonicalizer pandas-sorts every result column and
+    dies on unhashable cells: round 3's f19 returned a top-level
+    array<double> and errored driver-side while the local mirror
+    (which normalizes cells itself) stayed green (VERDICT r3 #1).
+    Reject non-atomic top-level columns in every graded entry."""
+    from pyspark.sql import types as T
+
+    from spider_spark.catalog import GRADED_WINDOW, QUERIES
+
+    bad = {}
+    for name in GRADED_WINDOW:
+        schema = QUERIES[name](spark, SF_DIR).schema
+        nested = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
+        ]
+        if nested:
+            bad[name] = nested
+    assert not bad, f"graded entries with non-scalar top-level columns: {bad}"
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_window_oracles_nonvacuous_at_every_sf(sf):
+    """Round 3's q5 filtered a region name that exists at NO scale factor
+    and passed vacuously on 0 == 0 (VERDICT r3 #2); the j5/u2-only check
+    above could not catch it.  Every graded-window oracle must return
+    rows at every SF the driver might grade."""
+    from spider_spark.catalog import GRADED_WINDOW, ORACLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/{sf}/{t}.parquet')"
+        )
+    empty = [
+        name
+        for name in GRADED_WINDOW
+        if con.sql(f"SELECT COUNT(*) FROM ({ORACLES[name]})").fetchone()[0] == 0
+    ]
+    con.close()
+    assert not empty, f"vacuous graded oracles at {sf}: {empty}"
