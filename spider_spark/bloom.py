@@ -270,9 +270,17 @@ class DistributedBloom:
             self.store.merge_upsert(self.TABLE, merged, key="shard")
         self.count += delta.count()
 
-    def prefilter(self, candidates: DataFrame) -> tuple[DataFrame, DataFrame, None]:
+    def prefilter(
+        self, candidates: DataFrame, materialize=None
+    ) -> tuple[DataFrame, DataFrame, None]:
         """Split candidates into (definitely_new, maybe_seen) — the
-        cogrouped, broadcast-free twin of ``bloom_prefilter``."""
+        cogrouped, broadcast-free twin of ``bloom_prefilter``.
+
+        ``materialize(df) -> df`` pins the tagged frame before the split:
+        downstream a round consumes BOTH halves plus a bucket-id collect,
+        so without pinning the candidate shuffle + shard-bitmap cogroup —
+        the expensive stage this class exists to bound — re-executes up
+        to 3x per round (ADVICE r3)."""
         from pyspark.sql.types import BooleanType, StructField, StructType
 
         if not self.store.exists(self.TABLE):
@@ -302,6 +310,8 @@ class DistributedBloom:
             .cogroup(self.store.read(self.TABLE).groupby("shard"))
             .applyInPandas(check, out_schema)
         )
+        if materialize is not None:
+            tagged = materialize(tagged)
         return (
             tagged.filter(~F.col("_maybe")).drop("_maybe"),
             tagged.filter(F.col("_maybe")).drop("_maybe"),

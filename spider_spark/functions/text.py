@@ -144,9 +144,14 @@ def _rolling_fingerprint(texts: pd.Series, window: int = 16) -> pd.Series:
         # h = h*base + (ord&0xFF) fold, for every short doc at once
         st = t[short]
         lens = char_lens[short]
+        # surrogatepass: a lone surrogate must not crash the whole Arrow
+        # batch (ADVICE r3) — its codepoint&0xFF matches the per-row
+        # ord()&0xFF fold this path replaces
         codes = (
-            np.frombuffer("".join(st.tolist()).encode("utf-32-le"), dtype=np.uint32)
-            .astype(np.uint64)
+            np.frombuffer(
+                "".join(st.tolist()).encode("utf-32-le", "surrogatepass"),
+                dtype=np.uint32,
+            ).astype(np.uint64)
             & np.uint64(0xFF)
         )
         width = window - 1

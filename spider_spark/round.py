@@ -105,6 +105,7 @@ def run_round(
     t0 = time.monotonic()
     if materialize is None:
         materialize = lambda name, df: df.cache()  # noqa: E731
+    round_pins: list[DataFrame] = []  # extra intermediates to unpersist
 
     elig = politeness.eligible_hosts(hosts_df, host_state_df, round_id)
     batch = frontier.dequeue(frontier_df, elig, round_id, cfg.global_cap, hosts_df=hosts_df)
@@ -169,7 +170,14 @@ def run_round(
     if isinstance(bloom, ShardedCuckoo):
         definite_new, maybe_seen, bloom_bc = cuckoo_prefilter(spark, cand, bloom)
     elif isinstance(bloom, bloom_mod.DistributedBloom):
-        definite_new, maybe_seen, bloom_bc = bloom.prefilter(cand)
+        # pin the tagged frame: both halves + the bucket-id collect below
+        # consume it, and the shard cogroup must run ONCE per round
+        def _pin_tagged(df):
+            df = materialize("_bloom_tagged", df)
+            round_pins.append(df)
+            return df
+
+        definite_new, maybe_seen, bloom_bc = bloom.prefilter(cand, materialize=_pin_tagged)
     else:
         definite_new, maybe_seen, bloom_bc = bloom_mod.bloom_prefilter(spark, cand, bloom)
     if seen_reader is not None and cfg.seen_buckets:
@@ -258,7 +266,7 @@ def run_round(
         "media_delta": media_delta,
         "host_updates": host_updates,
         "lineage": lineage,
-        "_cached": [cand, new_links],
+        "_cached": [cand, new_links] + round_pins,
         # round-scoped broadcasts: destroyed by the caller once the
         # round's actions complete (never-destroyed per-round broadcasts
         # leak driver+executor memory over a long crawl)

@@ -236,6 +236,23 @@ class TableStore:
                 f"(extra columns {extra}, missing columns {missing}); "
                 f"evolve the table with write() to change its schema"
             )
+        # names match — now types (ADVICE r3): a same-named column of a
+        # different type would otherwise surface later as a confusing
+        # parquet read error or a silent coercion.  simpleString ignores
+        # nullability (a non-null frame may append into a nullable column).
+        committed = StructType.fromJson(json.loads(manifest["schema"]))
+        want_types = {f.name: f.dataType.simpleString() for f in committed.fields}
+        drift = {
+            f.name: (f.dataType.simpleString(), want_types[f.name])
+            for f in df.schema.fields
+            if f.dataType.simpleString() != want_types[f.name]
+        }
+        if drift:
+            raise ValueError(
+                f"{what} to table '{table}': column type mismatch vs committed "
+                f"manifest {{name: (incoming, committed)}} = {drift}; "
+                f"evolve the table with write() to change its schema"
+            )
 
     # ------------------------------------------------------------ write paths
     def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> str:

@@ -247,6 +247,11 @@ def test_append_schema_mismatch_raises(spark, tmp_path):
         st.append("t", spark.createDataFrame([(2, "b", 9)], ["k", "v", "extra"]))
     with pytest.raises(ValueError, match="schema mismatch"):
         st.merge_upsert("t", spark.createDataFrame([(2,)], ["k"]), key="k")
+    # same names, different TYPE must also fail fast (ADVICE r3): a
+    # string 'k' appended into a long column would otherwise surface as a
+    # confusing parquet read error or silent coercion much later
+    with pytest.raises(ValueError, match="type mismatch"):
+        st.append("t", spark.createDataFrame([("2", "b")], ["k", "v"]))
     # matching column set in a different order is fine
     st.append("t", spark.createDataFrame([("b", 2)], ["v", "k"]).select("v", "k"))
     assert st.read("t").count() == 2

@@ -120,6 +120,8 @@ def test_vectorized_fingerprint_matches_row_golden(monkeypatch):
     cases.append("z" * 100_000)          # > byte cap
     cases.append("漢" * 40)               # multi-byte
     cases.append("\ud800" * 20)          # lone surrogates -> utf-8 ignore shrinks
+    cases.append("\ud800ab")             # lone surrogate in a SHORT doc: the
+    cases.append("a\udfff")              # utf-32 short path must not raise (ADVICE r3)
     s = pd.Series(cases, dtype="object")
 
     got = T._rolling_fingerprint(s)
