@@ -15,14 +15,24 @@ in-process SparkSession restarts would share one mis-sized JVM);
 efficiency = (thr_big / thr_small) / (big / small).  Legs run as
 back-to-back PAIRS gated on a CPU-probe quiet window (this VM's
 co-tenant interference comes in 10-20 min cycles; probing is ~1s, a
-throttled leg wastes minutes); first plausible pair (0.8..1.1) wins.
-Skippable with SPARK_GRAFT_SCALING=0.
+throttled leg wastes minutes); the phase ends once TWO pairs land in
+the plausible band (0.8..1.1) and reports their median — one lucky
+pair on a noisy box is not self-consistency (ADVICE r3).  Skippable
+with SPARK_GRAFT_SCALING=0.
+
+Every measurement carries the CPU probe reading taken immediately
+before it (``probe_mops``): this VM's co-tenant interference made
+round 3's uniform ~1.5x regression unattributable (VERDICT r3 #4) —
+with the probe inline, a reviewer can separate interference from code.
 
 Env knobs:
   SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     (default 32)
   SPARK_GRAFT_FRONTIER (default 3_000_000 rows; scaling legs use
-                       SPARK_GRAFT_SCALE_FRONTIER, default 3_000_000)
+                       SPARK_GRAFT_SCALE_FRONTIER, default 1_000_000 —
+                       sized so a full (big, small) pair fits the leg
+                       timeout even in a partially-degraded window,
+                       VERDICT r3 #3)
   SPARK_GRAFT_SCALING  (default 1; 0 skips the two-level scaling run)
 """
 
@@ -187,6 +197,7 @@ def frontier_wave(spark, n_rows: int, cores: int, n_hosts: int = 1000) -> dict:
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
     max_reps = reps + 2
     wall = None
+    probe = probe_once()  # box state at measurement time (VERDICT r3 #4)
     i = 0
     while i < reps:
         t0 = time.monotonic()
@@ -209,15 +220,24 @@ def frontier_wave(spark, n_rows: int, cores: int, n_hosts: int = 1000) -> dict:
         "wall_sec": round(wall, 3),
         "urls_per_sec": round(processed / wall, 1),
         "urls_per_sec_per_core": round(processed / wall / cores, 1),
+        "probe_mops": round(probe / 1e6, 1),
     }
 
 
-def crawl_round_wave(spark, n_rows: int, cores: int, n_hosts: int = 1000) -> dict:
+def crawl_round_wave(
+    spark, n_rows: int, cores: int, n_hosts: int = 1000, filter_kind: str = "bloom"
+) -> dict:
     """TWO full crawl rounds INCLUDING the MERGE-back storage writes
     (frontier partition-merge, seen/documents/lineage appends, commit) —
     the cost the headline wave excludes.  Reports per-round walls and the
     parquet bytes each round wrote: with manifest-segment appends, round
-    2's bytes track its DELTA, not the table size (VERDICT r1 #4)."""
+    2's bytes track its DELTA, not the table size (VERDICT r1 #4).
+
+    ``filter_kind`` picks the seen-prefilter: "bloom" (ShardedBloom,
+    driver broadcast) or "bloom-dist" (DistributedBloom — the 10^10-key
+    form whose shard bitmaps live in a store table and are cogrouped
+    against candidates; VERDICT r3 #5 asked for driver-visible evidence
+    of this path next to the broadcast one)."""
     import shutil
     import tempfile
 
@@ -228,9 +248,10 @@ def crawl_round_wave(spark, n_rows: int, cores: int, n_hosts: int = 1000) -> dic
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     workdir = tempfile.mkdtemp(prefix="spark_graft_bench_store_", dir=base)
 
-    def store_bytes() -> int:
+    def store_bytes(sub: str | None = None) -> int:
         total = 0
-        for root, _d, files in os.walk(workdir):
+        top = os.path.join(workdir, sub) if sub else workdir
+        for root, _d, files in os.walk(top):
             for f in files:
                 if f.endswith(".parquet"):
                     total += os.path.getsize(os.path.join(root, f))
@@ -240,7 +261,8 @@ def crawl_round_wave(spark, n_rows: int, cores: int, n_hosts: int = 1000) -> dic
         page_space = max(10_000, n_rows)
         cfg = CrawlConfig(
             n_hosts=n_hosts, page_space=page_space, fetch_partitions=cores,
-            salt=8, use_bloom=True, bloom_shards=32, bloom_bits=1 << 22,
+            salt=8, use_bloom=True, filter_kind=filter_kind,
+            bloom_shards=32, bloom_bits=1 << 22,
         )
         c = Crawler(spark, workdir, cfg)
         seeds = synth.seed_list(spark, n_rows, n_hosts, page_space, hot_frac=0.3)
@@ -249,6 +271,7 @@ def crawl_round_wave(spark, n_rows: int, cores: int, n_hosts: int = 1000) -> dic
         bytes_after = [store_bytes()]
         rounds = []
         for i in (1, 2):
+            probe = probe_once()
             t0 = time.monotonic()
             res = c.run_rounds(1, expire_keep=2)
             wall = time.monotonic() - t0
@@ -265,11 +288,20 @@ def crawl_round_wave(spark, n_rows: int, cores: int, n_hosts: int = 1000) -> dic
                     "wall_sec": round(wall, 3),
                     "urls_per_sec": round(processed / wall, 1),
                     "bytes_written": bytes_after[-1] - bytes_after[-2],
+                    "probe_mops": round(probe / 1e6, 1),
                 }
             )
-            log(f"  round[{i}]: {wall:.1f}s, {rounds[-1]['urls_per_sec']} urls/s, "
+            log(f"  round[{i}] ({filter_kind}): {wall:.1f}s, "
+                f"{rounds[-1]['urls_per_sec']} urls/s, "
                 f"{rounds[-1]['bytes_written']} B written")
-        return {"bootstrap_bytes": bytes_after[0], "rounds": rounds}
+        out = {"filter_kind": filter_kind, "bootstrap_bytes": bytes_after[0],
+               "rounds": rounds}
+        if filter_kind == "bloom-dist":
+            # shard I/O evidence: the filter's whole footprint is this
+            # store table (never driver memory / broadcast)
+            out["bloom_shard_table_bytes"] = store_bytes("bloom_shards")
+            out["bloom_shards"] = cfg.bloom_shards
+        return out
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -288,11 +320,13 @@ HEADLINE_QUERIES = [
 ]
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], float]:
+    """Returns ({query: sec}, probe_mops at batch start)."""
     from spider_spark.catalog import QUERIES
 
     # warmup: spin python workers + parquet footer caches
     QUERIES["a5_group_stats"](spark, sf_dir).count()
+    probe = probe_once()
     out = {}
     for name in HEADLINE_QUERIES:
         t0 = time.monotonic()
@@ -300,7 +334,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.monotonic() - t0, 3)
         log(f"  query {name}: {out[name]}s")
-    return out
+    return out, round(probe / 1e6, 1)
 
 
 def wave_subprocess(cores: int, n_rows: int, counts: str | None = None, reps: int = 1) -> dict:
@@ -337,7 +371,14 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_frontier = int(os.environ.get("SPARK_GRAFT_FRONTIER", "3000000"))
-    scale_frontier = int(os.environ.get("SPARK_GRAFT_SCALE_FRONTIER", "3000000"))
+    # scaling legs run a SMALLER frontier than the headline: at 3M a
+    # single degraded-window 2-core leg (clean 46s x measured 7x
+    # interference swings) blows the 480s subprocess timeout — round 3
+    # lost 2 of 3 pairs exactly that way.  1M keeps a fully-degraded
+    # pair inside both the leg timeout and the phase budget; efficiency
+    # is a ratio, so the smaller input doesn't bias it (validated at
+    # sf0.01: 0.894 self-consistent, BASELINE.md round 3).
+    scale_frontier = int(os.environ.get("SPARK_GRAFT_SCALE_FRONTIER", "1000000"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -363,8 +404,9 @@ def main():
     wave = frontier_wave(spark, n_frontier, cpus)
     log(f"  {wave}")
     log(f"bench: catalog queries at {sf_dir}")
-    queries = run_queries(spark, sf_dir)
+    queries, queries_probe = run_queries(spark, sf_dir)
     round_wave = None
+    round_wave_dist = None
     if os.environ.get("SPARK_GRAFT_ROUND", "1") != "0":
         n_round = int(os.environ.get("SPARK_GRAFT_ROUND_FRONTIER", "300000"))
         log(f"bench: full crawl round (with storage MERGE-back), {n_round} rows")
@@ -373,6 +415,16 @@ def main():
         except Exception as e:  # keep the JSON line alive
             log(f"bench: round wave failed ({e})")
             round_wave = {"error": str(e)[:200]}
+        # same storage-inclusive legs on the 10^10-scale seen filter
+        # (shards in a store table, cogrouped membership) so the scale
+        # path has driver-visible numbers next to the broadcast one
+        log(f"bench: full crawl round, filter_kind=bloom-dist, {n_round} rows")
+        try:
+            round_wave_dist = crawl_round_wave(spark, n_round, cpus,
+                                               filter_kind="bloom-dist")
+        except Exception as e:
+            log(f"bench: bloom-dist round wave failed ({e})")
+            round_wave_dist = {"error": str(e)[:200]}
     spark.stop()
 
     scaling = None
@@ -423,13 +475,17 @@ def main():
             log(f"bench: scaling run local[{c}] (fresh JVM)")
             w = wave_subprocess(c, scale_frontier, counts=pre_counts, reps=2)
             pre_counts = f"{w['dequeued']},{w['candidates']},{w['new_urls']}"
-            log(f"  local[{c}]: {w['urls_per_sec']} urls/s ({w['wall_sec']}s)")
-            return w["urls_per_sec"]
+            log(f"  local[{c}]: {w['urls_per_sec']} urls/s ({w['wall_sec']}s, "
+                f"probe {w.get('probe_mops')} Mops)")
+            return w
 
         def eff_of(s_thr, b_thr):
             return (b_thr / s_thr) / (big / small)
 
-        accepted = None
+        # A single in-band pair can be luck on a noisy box (ADVICE r3):
+        # self_consistent now requires TWO pairs in the plausible band,
+        # and the reported efficiency is the median of the in-band pairs.
+        in_band = []
         for attempt in range(max_pairs):
             # reserve ~180s for the pair itself; spend the rest waiting
             wait_cap = min(240.0, max(0.0, phase_left() - 180.0))
@@ -441,44 +497,47 @@ def main():
                 n_waits[0] += 1
             wait_spent[0] += time.monotonic() - t0
             try:
-                b = leg(big)
-                s = leg(small)
+                bw = leg(big)
+                sw = leg(small)
             except Exception as e:  # never lose the JSON line to a hiccup
                 log(f"bench: scaling pair failed ({e})")
                 errs[f"pair_{attempt}"] = str(e)[:160]
                 continue
+            b, s = bw["urls_per_sec"], sw["urls_per_sec"]
             thr[big] = max(thr.get(big, 0.0), b)
             thr[small] = max(thr.get(small, 0.0), s)
             e_pair = round(eff_of(s, b), 3)
-            pair_log.append({"small": s, "big": b, "efficiency": e_pair})
+            pair = {"small": s, "big": b, "efficiency": e_pair,
+                    "probe_mops_big": bw.get("probe_mops"),
+                    "probe_mops_small": sw.get("probe_mops")}
+            pair_log.append(pair)
             log(f"  pair[{attempt}]: efficiency {e_pair}")
             if 0.8 <= e_pair <= 1.1:
-                accepted = {"small": s, "big": b, "efficiency": e_pair,
-                            "method": "back_to_back_pair"}
-                break
-            e_max = eff_of(thr[small], thr[big])
-            if 0.8 <= e_max <= 1.1:
-                accepted = {"small": thr[small], "big": thr[big],
-                            "efficiency": round(e_max, 3),
-                            "method": "best_per_leg"}
-                break
+                in_band.append(pair)
+                if len(in_band) >= 2:
+                    break
 
         scaling = {
             "cores_small": small,
             "cores_big": big,
             "pairs": pair_log,
+            "pairs_in_band": len(in_band),
             "pinned": bool(__import__("shutil").which("taskset")),
             "probe_best_mops": round(_PROBE_BEST / 1e6, 1),
             "probe_wait_sec": round(wait_spent[0], 1),
             "probe_waits_timed_out": n_waits[0],
         }
-        if accepted:
+        if in_band:
+            effs = sorted(p["efficiency"] for p in in_band)
+            n = len(effs)
+            med = effs[n // 2] if n % 2 else (effs[n // 2 - 1] + effs[n // 2]) / 2
+            rep = min(in_band, key=lambda p: abs(p["efficiency"] - med))
             scaling.update(
-                urls_per_sec_small=accepted["small"],
-                urls_per_sec_big=accepted["big"],
-                efficiency=accepted["efficiency"],
-                method=accepted["method"],
-                self_consistent=True,
+                urls_per_sec_small=rep["small"],
+                urls_per_sec_big=rep["big"],
+                efficiency=round(med, 3),
+                method="back_to_back_pair",
+                self_consistent=len(in_band) >= 2,
             )
         elif small in thr and big in thr:
             # no plausible pair landed: ship best-per-leg, honestly flagged
@@ -488,7 +547,7 @@ def main():
                 urls_per_sec_big=thr[big],
                 efficiency=e_max,
                 method="best_per_leg",
-                self_consistent=bool(0.8 <= e_max <= 1.1),
+                self_consistent=False,
             )
         if errs:
             scaling["errors"] = errs
@@ -498,9 +557,11 @@ def main():
         "value": wave["urls_per_sec"],
         "unit": "urls/sec",
         "queries": queries,
+        "queries_probe_mops": queries_probe,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "frontier": wave,
         "round": round_wave,
+        "round_bloom_dist": round_wave_dist,
         "scaling": scaling,
     }
     print(json.dumps(result), flush=True)
