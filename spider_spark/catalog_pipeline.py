@@ -321,6 +321,96 @@ def s3_ivf_topk(spark, sf_dir):
     )
 
 
+@q(
+    "s5_ann_planted_recall",
+    # planted-copy ground truth: an exact duplicate has the IDENTICAL
+    # hyperplane signature, so the h=0 probe bucket always contains it
+    # and the exact rerank scores it 1.0 — recall@5 of the planted dup
+    # is structurally 1 for every query; SQL states that expectation
+    """SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS dup_found
+       FROM embeddings WHERE vec_id < 20""",
+)
+def s5_ann_planted_recall(spark, sf_dir):
+    """Driver-graded ANN recall (VERDICT r3 #7): plant an exact duplicate
+    of every vector at id+1e6, build the LSH index ONCE (persisted — the
+    signature UDF runs once, off the query path), then serve 20 queries
+    through the multi-probe path (13 enumerated buckets at n_planes=12,
+    h<=1, pushed into the scan as an IN filter).  Each query's top-5 must
+    contain its planted duplicate.  The 20 collected query vectors are a
+    bounded driver-side dim, like every planted-data entry."""
+    from .functions.similarity import ann_lsh_topk, build_lsh_index
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    both = e.unionByName(
+        e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    index = build_lsh_index(both, 64).persist()
+    qrows = e.filter(F.col("vec_id") < 20).collect()
+    parts = []
+    for r in qrows:
+        top = ann_lsh_topk(
+            both, [float(x) for x in r["embedding"]], k=5, probe_hamming=1, index=index
+        )
+        parts.append(
+            top.agg(
+                F.max(F.col("vec_id") == r["vec_id"] + 1_000_000).alias("dup_found")
+            ).select(F.lit(r["vec_id"]).cast("long").alias("query_id"), "dup_found")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@q(
+    "s6_ivf_planted_recall",
+    # same planted ground truth for the IVF path: an identical vector is
+    # assigned the identical nearest centroid, and the query probes its
+    # own best cells first — the duplicate is always in the probed set
+    """SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS dup_found
+       FROM embeddings WHERE vec_id < 20""",
+)
+def s6_ivf_planted_recall(spark, sf_dir):
+    """IVF recall under the driver oracle: trained centroids (bounded
+    k-means sample), ONE persisted cell assignment of base+planted
+    vectors (the python stage runs once), then 20 queries each scanning
+    only their 3 probe cells; top-5 must contain the planted duplicate."""
+    import numpy as np
+
+    from .functions.similarity import cosine_topk, ivf_assign, train_ivf_centroids
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    both = e.unionByName(
+        e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    cents = train_ivf_centroids(both, n_cells=8)
+    assigned, cents = ivf_assign(both, n_cells=8, centroids=cents)
+    assigned = assigned.persist()
+    qrows = e.filter(F.col("vec_id") < 20).collect()
+    parts = []
+    for r in qrows:
+        q = np.array(r["embedding"], dtype=np.float64)
+        probe_cells = np.argsort(-(cents @ q))[:3].tolist()
+        top = cosine_topk(
+            assigned.filter(F.col("ivf_cell").isin(probe_cells)),
+            [float(x) for x in r["embedding"]],
+            k=5,
+        )
+        parts.append(
+            top.agg(
+                F.max(F.col("vec_id") == r["vec_id"] + 1_000_000).alias("dup_found")
+            ).select(F.lit(r["vec_id"]).cast("long").alias("query_id"), "dup_found")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # =====================================================================
 # multimodal plumbing
 # =====================================================================
@@ -371,23 +461,50 @@ def c1_crawl_frontier_dequeue(spark, sf_dir):
     )
 
 
-@q("m2_binarize_media")  # rows-only: fake decode + binary output, not SQL-expressible
+@q(
+    "m2_binarize_media",
+    # analytic ground truth: pixels are integer formulas of (doc_id, i)
+    # (synth_png_media docstring), the PNG roundtrip is lossless, and the
+    # reference's three-pass binarize whitens exactly the pixels with
+    # R>=90 AND G>=136 AND B>0 (here B>=1 always) — so SQL recomputes the
+    # white count without ever decoding an image
+    """SELECT 'media://doc/' || CAST(doc_id AS VARCHAR) || '/img0' AS media_ref,
+              CAST(16 + doc_id % 17 AS INT) AS width,
+              CAST(16 + doc_id % 13 AS INT) AS height,
+              CAST(SUM(CASE WHEN (7 * doc_id + 13 * i) % 256 >= 90
+                             AND (11 * doc_id + 29 * i) % 256 >= 136
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_white
+       FROM (SELECT doc_id,
+                    unnest(generate_series(
+                        0, (16 + doc_id % 17) * (16 + doc_id % 13) - 1)) AS i
+             FROM documents WHERE doc_id < 200) px
+       GROUP BY doc_id""",
+)
 def m2_binarize_media(spark, sf_dir):
     """F14 captcha binarization (binaryzationImage share_func.py:194-221)
-    over the synthetic media store: three-pass threshold on RGBA grids,
-    golden-tested against a literal transcription of the reference loop."""
-    from .functions.multimodal import binarize_media, synth_media_table
+    over REAL PNG bytes: deterministic pixels are encoded through the
+    dependency-free codec (functions/png.py), decoded back
+    spec-conformantly (all five scanline filters exercised across the
+    batch), then three-pass thresholded.  strict=True: any blob the real
+    decoder can't handle raises instead of falling back to a fake.  The
+    repartition between the two python stages keeps one python worker
+    per task (CLAUDE.md perf rule 1)."""
+    from .functions.multimodal import binarize_media, synth_png_media
 
     refs = (
         _t(spark, sf_dir, "documents")
-        .limit(2000)
+        .filter(F.col("doc_id") < 200)
         .select(
             F.concat(
                 F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit("/img0")
-            ).alias("media_ref")
+            ).alias("media_ref"),
+            F.col("doc_id").alias("seed"),
         )
     )
-    return binarize_media(synth_media_table(refs)).drop("binarized")
+    media = synth_png_media(refs).repartition(8)
+    return binarize_media(media, strict=True).select(
+        "media_ref", "width", "height", F.col("n_white").cast("long").alias("n_white")
+    )
 
 
 @q(

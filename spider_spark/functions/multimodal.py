@@ -2,10 +2,12 @@
 with typed metadata.
 
 The Spark-side plumbing (schemas, partition-friendly batch shapes,
-mapInPandas signatures) is real and tested; the actual codec calls are
-STUBBED deterministically because this container ships no image/audio
-libraries — each stub raises NotImplementedError when `strict=True`
-or produces a deterministic fake otherwise, clearly marked.
+mapInPandas signatures) is real and tested.  Decode policy (the codec
+boundary): PNG blobs are decoded FOR REAL — a dependency-free
+spec-conformant codec lives in functions/png.py (zlib inflate + all five
+scanline filters) — while other formats (JPEG/audio/video: no PIL/ffmpeg
+in this container) raise NotImplementedError under ``strict=True`` or
+fall back to a clearly-marked deterministic fake otherwise.
 
 Reference analog: the crawler streams images to disk separately from text
 (share_func.py:224-242 saveImage) and binarizes captcha pixels
@@ -22,6 +24,28 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import png
+
+
+def _decode_rgba(content, strict: bool = False) -> tuple[np.ndarray, bool]:
+    """Blob -> (h, w, 4) uint8 RGBA + whether the decode was real.
+
+    PNG bytes go through the real codec; anything else is the stubbed
+    step: NotImplementedError when strict, deterministic bytes->grid fake
+    otherwise (swapping in PIL/ffmpeg changes only this branch)."""
+    b = bytes(content or b"")
+    if png.is_png(b):
+        return png.decode_png(b), True
+    if strict:
+        raise NotImplementedError(
+            "non-PNG decode requires PIL/ffmpeg, not available in this container"
+        )
+    a = np.frombuffer(b, dtype=np.uint8)
+    n_px = max(len(a) // 4, 1)
+    w = max(int(np.sqrt(n_px)), 1)
+    h = max(n_px // w, 1)
+    return np.resize(a, (h, w, 4)), False
 
 MEDIA = T.StructType(
     [
@@ -67,22 +91,68 @@ def synth_media_table(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
     )
 
 
+def synth_png_media(refs: DataFrame) -> DataFrame:
+    """REAL-PNG media store: per ref, deterministic RGBA pixels from the
+    integer ``seed`` column, encoded through the real codec
+    (png.encode_png) — so downstream operators decode genuine PNG bytes.
+
+    The pixel formulas are integer arithmetic a SQL oracle can replicate
+    (the m2 entry recomputes the binarize result analytically):
+      w = 16 + seed % 17,  h = 16 + seed % 13,  i = row-major pixel index
+      R = (7*seed + 13*i) % 256
+      G = (11*seed + 29*i) % 256
+      B = 1 + (3*i + seed) % 7      (>= 1: every surviving pixel whitens)
+      A = 255
+    The scanline filter rotates with seed % 5, so a batch of refs drives
+    every decoder filter branch (None/Sub/Up/Average/Paeth).
+
+    Input: (media_ref string, seed long).  Output matches
+    synth_media_table: (media_ref, content, media_kind, n_bytes)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_refs, blobs, nbytes = [], [], []
+            for ref, seed in zip(pdf["media_ref"], pdf["seed"]):
+                s = int(seed)
+                w, h = 16 + s % 17, 16 + s % 13
+                i = np.arange(w * h, dtype=np.int64)
+                px = np.empty((h, w, 4), dtype=np.uint8)
+                px[..., 0] = ((7 * s + 13 * i) % 256).reshape(h, w)
+                px[..., 1] = ((11 * s + 29 * i) % 256).reshape(h, w)
+                px[..., 2] = (1 + (3 * i + s) % 7).reshape(h, w)
+                px[..., 3] = 255
+                data = png.encode_png(px, filter_type=s % 5)
+                out_refs.append(ref)
+                blobs.append(data)
+                nbytes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "media_ref": out_refs,
+                    "content": blobs,
+                    "media_kind": ["image"] * len(out_refs),
+                    "n_bytes": np.array(nbytes, dtype=np.int32),
+                }
+            )
+
+    return refs.select("media_ref", F.col("seed").cast("long").alias("seed")).mapInPandas(
+        fn, MEDIA
+    )
+
+
 def decode_and_featurize(media: DataFrame, strict: bool = False) -> DataFrame:
     """mapInPandas feature extraction over binary media columns.
 
     Batch shape: one Arrow batch of (media_ref, content, media_kind);
-    output one row per media item.  The decode itself is a STUB:
-    - strict=True  -> NotImplementedError (no codec libs in container)
+    output one row per media item.  PNG blobs decode for real (true
+    width/height from the codec, functions/png.py); other formats are
+    the stubbed step:
+    - strict=True  -> NotImplementedError (no PIL/ffmpeg in container)
     - strict=False -> deterministic fake decode: width/height/frames from
       a stable byte hash, entropy computed for real from the bytes.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "image/audio decode requires PIL/ffmpeg, not available in this container"
-                )
             n = len(pdf)
             widths = np.zeros(n, dtype=np.int32)
             heights = np.zeros(n, dtype=np.int32)
@@ -96,6 +166,15 @@ def decode_and_featurize(media: DataFrame, strict: bool = False) -> DataFrame:
                     counts = np.bincount(b, minlength=256)
                     p = counts[counts > 0] / len(b)
                     entropy[i] = float(-(p * np.log2(p)).sum())
+                if png.is_png(bytes(content or b"")):
+                    px = png.decode_png(bytes(content))
+                    heights[i], widths[i] = px.shape[0], px.shape[1]
+                    frames[i] = 1
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "non-PNG decode requires PIL/ffmpeg, not available in this container"
+                    )
                 seed = int(b[:8].astype(np.int64).sum()) if len(b) >= 8 else 0
                 widths[i] = 16 + seed % 1024
                 heights[i] = 16 + (seed // 7) % 1024
@@ -143,10 +222,11 @@ def binarize_rgba(pixels: np.ndarray) -> np.ndarray:
 
 
 def binarize_media(media: DataFrame, strict: bool = False) -> DataFrame:
-    """mapInPandas binarization over binary image columns: fake-decode the
-    blob into a deterministic RGBA array (decode itself is the stubbed
-    step, as in decode_and_featurize), run the reference's three-pass
-    threshold, emit the binarized bytes + white-pixel fraction."""
+    """mapInPandas binarization over binary image columns: decode the blob
+    into an RGBA array (REAL decode for PNG via functions/png.py; the
+    stubbed deterministic fake otherwise — see _decode_rgba), run the
+    reference's three-pass threshold, emit the binarized bytes +
+    white-pixel fraction."""
 
     out_schema = T.StructType(
         [
@@ -155,28 +235,26 @@ def binarize_media(media: DataFrame, strict: bool = False) -> DataFrame:
             T.StructField("height", T.IntegerType()),
             T.StructField("binarized", T.BinaryType()),
             T.StructField("frac_white", T.DoubleType()),
+            T.StructField("n_white", T.IntegerType()),
         ]
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "image decode requires PIL, not available in this container"
-                )
-            refs, widths, heights, blobs, fracs = [], [], [], [], []
+            refs, widths, heights, blobs, fracs, whites = [], [], [], [], [], []
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
-                b = np.frombuffer(content or b"", dtype=np.uint8)
-                n_px = max(len(b) // 4, 1)
-                w = max(int(np.sqrt(n_px)), 1)
-                h = max(n_px // w, 1)
-                px = np.resize(b, (h, w, 4))  # fake decode: bytes -> RGBA grid
+                px, _real = _decode_rgba(content, strict)
+                h, w = px.shape[0], px.shape[1]
                 out = binarize_rgba(px)
                 refs.append(ref)
                 widths.append(w)
                 heights.append(h)
                 blobs.append(out.tobytes())
-                fracs.append(round(float((out[..., 0] == 255).mean()), 4))
+                # integer white count alongside the fraction: exact across
+                # engines (no float-rounding hazard in the m2 oracle)
+                n_w = int((out[..., 0] == 255).sum())
+                whites.append(n_w)
+                fracs.append(round(n_w / (h * w), 4))
             yield pd.DataFrame(
                 {
                     "media_ref": refs,
@@ -184,6 +262,7 @@ def binarize_media(media: DataFrame, strict: bool = False) -> DataFrame:
                     "height": np.array(heights, dtype=np.int32),
                     "binarized": blobs,
                     "frac_white": np.array(fracs, dtype=np.float64),
+                    "n_white": np.array(whites, dtype=np.int32),
                 }
             )
 
@@ -193,9 +272,8 @@ def binarize_media(media: DataFrame, strict: bool = False) -> DataFrame:
 def resize_media(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
     """Nearest-neighbor resize over binary image columns (mapInPandas).
 
-    Decode is the stubbed step (bytes -> RGBA grid, as in
-    decode_and_featurize); the resize itself is real numpy index math —
-    swapping in PIL changes only the decode line.  Output keeps the
+    Decode via _decode_rgba (real for PNG, stubbed fake otherwise); the
+    resize itself is real numpy index math.  Output keeps the
     binary-column contract: (media_ref, width, height, content)."""
     out_schema = T.StructType(
         [
@@ -210,11 +288,8 @@ def resize_media(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFram
         for pdf in batches:
             refs, blobs = [], []
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
-                b = np.frombuffer(content or b"", dtype=np.uint8)
-                n_px = max(len(b) // 4, 1)
-                w = max(int(np.sqrt(n_px)), 1)
-                h = max(n_px // w, 1)
-                px = np.resize(b, (h, w, 4))
+                px, _real = _decode_rgba(content)
+                h, w = px.shape[0], px.shape[1]
                 ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
                 blobs.append(px[ys[:, None], xs[None, :]].tobytes())
