@@ -612,28 +612,34 @@ from . import catalog_records  # noqa: E402,F401  (registration side-effect)
 GRADED_WINDOW = [
     # projections / validation
     "p1_key_convert", "p9_mask", "p11_sanity_filter", "p12_param_validation",
-    # joins
+    # joins (j6 dim-lookup swapped out r4: near-dup of j1's broadcast
+    # join; it stays oracle-gated in the tail)
     "j1_broadcast_enrich", "j2_fk_join", "j3_cache_aside", "j4_anti_range",
-    "j5_anti_seen", "j6_dim_lookup", "j7_semi_join",
-    # aggregations
-    "a1_count_by_state", "a2_regex_extract_agg", "a5_group_stats",
+    "j5_anti_seen", "j7_semi_join",
+    # aggregations (r4: a2 regex-agg out — f4 grades the regex, a5 the
+    # group agg; a4 in — the reference's insert-time unique-key dedup)
+    "a1_count_by_state", "a4_dedup_unique_key", "a5_group_stats",
     "a6_distinct", "a7_throughput_by_day",
-    # windows / sorts / limits
-    "w1_ranked_dequeue", "w2_limit_dequeue", "w3_page_expand",
+    # windows / sorts / limits (r4: w3 page-expand out — explode shape
+    # now graded by f17; stays oracle-gated in the tail)
+    "w1_ranked_dequeue", "w2_limit_dequeue",
     "w4_stable_chunking", "w5b_last6_months", "w6_sessionize",
     # set ops
     "u2_except", "u3_union_all",
-    # scalar functions
-    "f1_json_parse", "f4_regex_extract", "f5_rlike_match", "f11_url_format",
-    "f19_sorted_array_agg",
+    # scalar functions (r4: f5 rlike out — near-dup of f4's regex;
+    # f17 explode+top-k in — the link-extraction shape)
+    "f1_json_parse", "f4_regex_extract", "f11_url_format",
+    "f17_explode_tokens", "f19_sorted_array_agg",
     # text analysis
     "t1_token_count", "t2_quality_ratio", "t3_langid_markers",
     "t4_fingerprint_stability",
     # dedup ladder
     "d1_exact_dedup", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
     "d4_ngram_jaccard", "d5_embedding_near_dup",
-    # similarity / media
-    "s1_cosine_topk", "m4_captcha_ocr",
+    # similarity / media (r4: +s5 multi-probe ANN planted recall,
+    # +m2 real-PNG decode->binarize — both formerly rows-only families)
+    "s1_cosine_topk", "s5_ann_planted_recall", "m2_binarize_media",
+    "m4_captcha_ocr",
     # record-parser families
     "r1_credit_query_parse", "r2_credit_card_parse", "r3_phone_book_parse",
     "r4_operator_user_json", "r5_operator_note_records", "r6_phone_attribution",
