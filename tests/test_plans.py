@@ -173,6 +173,39 @@ def test_record_parser_plan_quality(spark):
     assert "BroadcastHashJoin" in p6 and "SortMergeJoin" not in p6
 
 
+def test_m2_python_stages_are_separated_by_exchange(spark):
+    """CLAUDE.md perf rule 1: never two python operators in one stage.
+    m2 chains PNG-encode (synth_png_media) and decode+binarize
+    (binarize_media) — the repartition between them must survive as an
+    Exchange so each stage runs ONE python worker per task."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["m2_binarize_media"](spark, SF_DIR), mode="simple")
+    assert plan.count("MapInPandas") == 2
+    first = plan.index("MapInPandas")
+    second = plan.rindex("MapInPandas")
+    assert "Exchange" in plan[first:second], (
+        "the two python stages must be separated by a shuffle boundary"
+    )
+
+
+def test_s5_reuses_persisted_index_with_in_filter(spark):
+    """s5's 20 query branches must serve from the ONE persisted LSH index
+    (InMemoryTableScan — the signature UDF runs once, off the query
+    path) and restrict each branch with an enumerated probe-bucket IN
+    filter, never a full-index distance scan."""
+    from spider_spark.catalog import QUERIES
+
+    df = QUERIES["s5_ann_planted_recall"](spark, SF_DIR)
+    plan = _plan(df, mode="simple")
+    assert "InMemoryTableScan" in plan, "branches must scan the persisted index"
+    # Catalyst compiles a literal IN list to InSet past 10 values
+    assert "INSET" in plan or " IN (" in plan, "probe buckets must be an IN filter"
+    assert plan.count("MapInPandas") == 0, (
+        "no python stage on the query path (signatures precomputed at index build)"
+    )
+
+
 def test_documents_round_partition_pruning(spark, tmp_path):
     """Documents are partitioned by fetch_round: reading one round's
     documents must open ONLY that round's members (incremental-export
