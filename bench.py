@@ -450,8 +450,13 @@ def main():
         # best-seen throughput per core count (interference only ever
         # slows a leg, so maxima converge to clean values) and accept the
         # max-combo if a mixed pair gets there first.
-        phase_budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1200"))
-        max_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_TRIES", "5"))
+        # 1800s default: the VM's degraded episodes last 10-30 min; with
+        # cheap 1M legs the budget must be able to straddle one whole
+        # episode and still land two clean pairs on the far side
+        phase_budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1800"))
+        # legs at the 1M default are cheap (~40-130s even degraded), so
+        # the phase budget — not the try count — should bound the phase
+        max_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_TRIES", "8"))
         t_phase = time.monotonic()
 
         def phase_left():
