@@ -430,6 +430,39 @@ def m1_media_features(spark, sf_dir):
     return decode_and_featurize(synth_media_table(refs))
 
 
+@q(
+    "m5_png_features",
+    # width/height are formula constants per doc_id (synth_png_media);
+    # the real decoder must read them back from the actual IHDR + pixel
+    # grid of the encoded PNG — a pure SQL twin states the expectation
+    """SELECT 'media://doc/' || CAST(doc_id AS VARCHAR) || '/img0' AS media_ref,
+              CAST(16 + doc_id % 17 AS INT) AS width,
+              CAST(16 + doc_id % 13 AS INT) AS height,
+              CAST(1 AS INT) AS n_frames
+       FROM documents WHERE doc_id < 200""",
+)
+def m5_png_features(spark, sf_dir):
+    """Feature extraction over REAL PNG bytes (functions/png.py decode
+    inside decode_and_featurize, strict — no fake fallback): the decoded
+    dimensions must match the generator formulas exactly."""
+    from .functions.multimodal import decode_and_featurize, synth_png_media
+
+    refs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.concat(
+                F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit("/img0")
+            ).alias("media_ref"),
+            F.col("doc_id").alias("seed"),
+        )
+    )
+    media = synth_png_media(refs).repartition(8)
+    return decode_and_featurize(media, strict=True).select(
+        "media_ref", "width", "height", "n_frames"
+    )
+
+
 # =====================================================================
 # crawl engine (rows-only: the DataFrame-native operators exercised on a
 # deterministic in-memory frontier; full parity gates live in tests/)
