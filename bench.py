@@ -53,10 +53,17 @@ def cpu_probe(n: int = 2_000_000) -> float:
     """~0.3s single-thread CPU-rate sample (element-ops/sec).  The
     sandbox's bursty co-tenant interference (CLAUDE.md perf rule 4) shows
     up directly as a lower rate — used to detect degraded windows before
-    spending a scaling leg on them."""
+    spending a scaling leg on them.
+
+    The untimed warmup pass matters: measured on this VM, the FIRST pass
+    in a fresh (or long-idle) process reads ~1-4 Mops even on an idle box
+    (first-touch page faults + core wake-up ramp) while the next reads
+    ~150 — without the warmup, a cold probe is indistinguishable from a
+    real degraded window and the quiet-gate waits on a phantom."""
     import numpy as np
 
     a = np.random.RandomState(0).rand(n)
+    float(np.sqrt(a * a + 1.0).sum())  # untimed warmup (see docstring)
     t0 = time.monotonic()
     s = 0.0
     for _ in range(3):
