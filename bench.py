@@ -114,11 +114,16 @@ def wait_for_quiet(budget: float, threshold: float = 0.75, agg_cores: int = 0) -
     Returns (quiet_when_stopped, last_aggregate_rate_or_None)."""
     floor = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR_MOPS", "40")) * 1e6
     agg_floor = float(os.environ.get("SPARK_GRAFT_AGG_FLOOR_MOPS", "85")) * 1e6
+    # absolute clean bar: single turbo-boosted samples ratchet _PROBE_BEST
+    # (observed 252 Mops vs the ~150 steady clean rate), after which the
+    # relative test rejects perfectly clean readings — any sample at or
+    # above this bar is quiet regardless of the ratcheted best
+    clean_bar = float(os.environ.get("SPARK_GRAFT_PROBE_CLEAN_MOPS", "120")) * 1e6
     t0 = time.monotonic()
     agg = None
     while True:
         r = probe_once()
-        if r >= threshold * _PROBE_BEST and r >= floor:
+        if r >= floor and (r >= threshold * _PROBE_BEST or r >= clean_bar):
             if not agg_cores:
                 return True, None
             agg = mp_probe(agg_cores)
@@ -441,7 +446,7 @@ def main():
     # recording a 5-10x-throttled headline.  Capped — the JSON line must
     # always print on schedule.
     wait_for_quiet(
-        float(os.environ.get("SPARK_GRAFT_HEADLINE_WAIT", "240")), agg_cores=8
+        float(os.environ.get("SPARK_GRAFT_HEADLINE_WAIT", "300")), agg_cores=8
     )
     spark = make_spark(cpus)
     log(f"bench: frontier wave at local[{cpus}], {n_frontier} rows")
