@@ -494,16 +494,15 @@ def main():
         # 150-300s apiece).  Economics: a probe costs <1s, a wasted
         # throttled leg costs minutes — so ALWAYS gate on a quiet window
         # before spending a pair, and run the two legs back-to-back so
-        # they see the same conditions.  Accept the first pair whose
-        # efficiency is physically plausible (0.8..1.1); also track the
-        # best-seen throughput per core count (interference only ever
-        # slows a leg, so maxima converge to clean values) and accept the
-        # max-combo if a mixed pair gets there first.
-        # 1800s default: the VM's degraded episodes last 10-30 min; with
-        # cheap 1M legs the budget must be able to straddle one whole
-        # episode and still land two clean pairs on the far side
+        # they see the same conditions.  The phase ends once TWO pairs
+        # land in the plausible band (0.8..1.1) — their median is the
+        # reported efficiency (one lucky pair is not self-consistency,
+        # ADVICE r3); best-per-leg maxima remain the flagged fallback.
+        # 1800s default: the VM's degraded episodes last 10-30 min; the
+        # budget must be able to straddle one whole episode and still
+        # land two clean pairs on the far side
         phase_budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1800"))
-        # legs at the 1M default are cheap (~40-130s even degraded), so
+        # legs are cheap enough (a pair is 2-12 min even degraded) that
         # the phase budget — not the try count — should bound the phase
         max_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_TRIES", "8"))
         t_phase = time.monotonic()
