@@ -154,6 +154,64 @@ class TableStore:
     def read(self, table: str) -> DataFrame:
         return self._read_members(table, self._manifest(table))
 
+    def read_at(self, table: str, round_id: int | None = None, version: str | None = None) -> DataFrame:
+        """Iceberg time-travel read: the table AS OF a committed round
+        (or an explicit snapshot version), without moving any pointer.
+        The crawl keeps appending while consumers read a frozen snapshot
+        — the isolation a training-data export needs.  Snapshots stay
+        readable as long as ``expire_snapshots`` keeps their manifest
+        (reference capability: the crawler's re-parse of old crawls,
+        credit_person_web.py:234-249, done here without raw-body copies)."""
+        if version is None:
+            if round_id is None:
+                raise ValueError("read_at needs round_id or version")
+            version = self._version_at_round(table, round_id)
+        return self._read_members(table, self._manifest(table, version))
+
+    def _version_at_round(self, table: str, round_id: int) -> str:
+        rpath = os.path.join(self.root, "rounds", f"round_{round_id:06d}.json")
+        if not os.path.exists(rpath):
+            raise ValueError(f"round {round_id} was never committed")
+        with open(rpath) as f:
+            tables = json.load(f)["tables"]
+        if table not in tables:
+            raise ValueError(f"table '{table}' did not exist at round {round_id}")
+        return tables[table]
+
+    def read_changes(self, table: str, since_round: int, until_round: int | None = None) -> DataFrame:
+        """Iceberg incremental-scan analog: ONLY the rows appended after
+        ``since_round`` (exclusive), up to ``until_round`` (inclusive;
+        default current).  With delta appends each round adds new segment
+        members, so the changed slice is the member-set difference —
+        O(delta) I/O, never a full-table diff.  This is the incremental
+        training-data export path: ship each round's new documents
+        without rescanning 100 TB of history.
+
+        Sound only while history is append-only between the two
+        snapshots: compaction REWRITES members, so if the base members
+        are not a subset of the target's, this raises instead of
+        answering wrong (Iceberg's incremental scan has the same
+        append-only constraint)."""
+        base_version = self._version_at_round(table, since_round)
+        if until_round is None:
+            target_manifest = self._manifest(table)
+        else:
+            target_manifest = self._manifest(
+                table, self._version_at_round(table, until_round)
+            )
+        base_paths = {m["path"] for m in self._manifest(table, base_version)["members"]}
+        target_paths = {m["path"] for m in target_manifest["members"]}
+        if not base_paths <= target_paths:
+            raise ValueError(
+                f"history of '{table}' was rewritten (compaction) between the "
+                f"snapshots; incremental read is unsound — use read_at + anti-join"
+            )
+        delta = dict(
+            target_manifest,
+            members=[m for m in target_manifest["members"] if m["path"] not in base_paths],
+        )
+        return self._read_members(table, delta)
+
     def read_partitions(self, table: str, values) -> DataFrame:
         """Manifest-level partition-pruned scan: assemble ONLY the members
         whose partition value is in ``values`` — the files of every other
