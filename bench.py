@@ -413,7 +413,22 @@ def wave_subprocess(cores: int, n_rows: int, counts: str | None = None, reps: in
     return json.loads(res.stdout.strip().splitlines()[-1])
 
 
+class _Terminated(BaseException):
+    """Raised from the SIGTERM handler: a supervising driver is shutting
+    the bench down — stop measuring and print the JSON line with what we
+    have (an artifact with a 'terminated' marker beats no artifact).
+    BaseException so the per-phase `except Exception` guards cannot
+    swallow it."""
+
+
+def _on_sigterm(_sig, _frame):
+    raise _Terminated()
+
+
 def main():
+    import signal
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_frontier = int(os.environ.get("SPARK_GRAFT_FRONTIER", "3000000"))
@@ -452,32 +467,38 @@ def main():
     log(f"bench: frontier wave at local[{cpus}], {n_frontier} rows")
     wave = frontier_wave(spark, n_frontier, cpus)
     log(f"  {wave}")
-    log(f"bench: catalog queries at {sf_dir}")
-    queries, queries_probe = run_queries(spark, sf_dir)
+    queries, queries_probe = {}, None
     round_wave = None
     round_wave_dist = None
-    if os.environ.get("SPARK_GRAFT_ROUND", "1") != "0":
-        n_round = int(os.environ.get("SPARK_GRAFT_ROUND_FRONTIER", "300000"))
-        log(f"bench: full crawl round (with storage MERGE-back), {n_round} rows")
-        try:
-            round_wave = crawl_round_wave(spark, n_round, cpus)
-        except Exception as e:  # keep the JSON line alive
-            log(f"bench: round wave failed ({e})")
-            round_wave = {"error": str(e)[:200]}
-        # same storage-inclusive legs on the 10^10-scale seen filter
-        # (shards in a store table, cogrouped membership) so the scale
-        # path has driver-visible numbers next to the broadcast one
-        log(f"bench: full crawl round, filter_kind=bloom-dist, {n_round} rows")
-        try:
-            round_wave_dist = crawl_round_wave(spark, n_round, cpus,
-                                               filter_kind="bloom-dist")
-        except Exception as e:
-            log(f"bench: bloom-dist round wave failed ({e})")
-            round_wave_dist = {"error": str(e)[:200]}
-    spark.stop()
+    terminated = False
+    try:
+        log(f"bench: catalog queries at {sf_dir}")
+        queries, queries_probe = run_queries(spark, sf_dir)
+        if os.environ.get("SPARK_GRAFT_ROUND", "1") != "0":
+            n_round = int(os.environ.get("SPARK_GRAFT_ROUND_FRONTIER", "300000"))
+            log(f"bench: full crawl round (with storage MERGE-back), {n_round} rows")
+            try:
+                round_wave = crawl_round_wave(spark, n_round, cpus)
+            except Exception as e:  # keep the JSON line alive
+                log(f"bench: round wave failed ({e})")
+                round_wave = {"error": str(e)[:200]}
+            # same storage-inclusive legs on the 10^10-scale seen filter
+            # (shards in a store table, cogrouped membership) so the scale
+            # path has driver-visible numbers next to the broadcast one
+            log(f"bench: full crawl round, filter_kind=bloom-dist, {n_round} rows")
+            try:
+                round_wave_dist = crawl_round_wave(spark, n_round, cpus,
+                                                   filter_kind="bloom-dist")
+            except Exception as e:
+                log(f"bench: bloom-dist round wave failed ({e})")
+                round_wave_dist = {"error": str(e)[:200]}
+        spark.stop()
+    except _Terminated:
+        terminated = True
+        log("bench: SIGTERM during query/round phase — emitting partial artifact")
 
     scaling = None
-    if do_scaling:
+    if do_scaling and not terminated:
         # N -> 4N executor-scaling evidence.  A local-mode wave runs one
         # JVM task thread PLUS one python worker per core, and this VM
         # throttles when the whole box is hot — so the clean pair on a
@@ -539,38 +560,42 @@ def main():
         # self_consistent now requires TWO pairs in the plausible band,
         # and the reported efficiency is the median of the in-band pairs.
         in_band = []
-        for attempt in range(max_pairs):
-            # reserve ~180s for the pair itself; spend the rest waiting
-            wait_cap = min(240.0, max(0.0, phase_left() - 180.0))
-            if phase_left() < 120:
-                errs["phase_budget"] = "exhausted"
-                break
-            t0 = time.monotonic()
-            quiet, agg = wait_for_quiet(wait_cap, agg_cores=big)
-            if not quiet:
-                n_waits[0] += 1
-            wait_spent[0] += time.monotonic() - t0
-            try:
-                bw = leg(big)
-                sw = leg(small)
-            except Exception as e:  # never lose the JSON line to a hiccup
-                log(f"bench: scaling pair failed ({e})")
-                errs[f"pair_{attempt}"] = str(e)[:160]
-                continue
-            b, s = bw["urls_per_sec"], sw["urls_per_sec"]
-            thr[big] = max(thr.get(big, 0.0), b)
-            thr[small] = max(thr.get(small, 0.0), s)
-            e_pair = round(eff_of(s, b), 3)
-            pair = {"small": s, "big": b, "efficiency": e_pair,
-                    "agg_mops_at_start": round(agg / 1e6, 1) if agg else None,
-                    "probe_mops_big": bw.get("probe_mops"),
-                    "probe_mops_small": sw.get("probe_mops")}
-            pair_log.append(pair)
-            log(f"  pair[{attempt}]: efficiency {e_pair}")
-            if 0.8 <= e_pair <= 1.1:
-                in_band.append(pair)
-                if len(in_band) >= 2:
+        try:
+            for attempt in range(max_pairs):
+                # reserve ~180s for the pair itself; spend the rest waiting
+                wait_cap = min(240.0, max(0.0, phase_left() - 180.0))
+                if phase_left() < 120:
+                    errs["phase_budget"] = "exhausted"
                     break
+                t0 = time.monotonic()
+                quiet, agg = wait_for_quiet(wait_cap, agg_cores=big)
+                if not quiet:
+                    n_waits[0] += 1
+                wait_spent[0] += time.monotonic() - t0
+                try:
+                    bw = leg(big)
+                    sw = leg(small)
+                except Exception as e:  # never lose the JSON line to a hiccup
+                    log(f"bench: scaling pair failed ({e})")
+                    errs[f"pair_{attempt}"] = str(e)[:160]
+                    continue
+                b, s = bw["urls_per_sec"], sw["urls_per_sec"]
+                thr[big] = max(thr.get(big, 0.0), b)
+                thr[small] = max(thr.get(small, 0.0), s)
+                e_pair = round(eff_of(s, b), 3)
+                pair = {"small": s, "big": b, "efficiency": e_pair,
+                        "agg_mops_at_start": round(agg / 1e6, 1) if agg else None,
+                        "probe_mops_big": bw.get("probe_mops"),
+                        "probe_mops_small": sw.get("probe_mops")}
+                pair_log.append(pair)
+                log(f"  pair[{attempt}]: efficiency {e_pair}")
+                if 0.8 <= e_pair <= 1.1:
+                    in_band.append(pair)
+                    if len(in_band) >= 2:
+                        break
+        except _Terminated:
+            terminated = True
+            log("bench: SIGTERM during scaling — emitting pairs so far")
 
         scaling = {
             "cores_small": small,
@@ -619,6 +644,8 @@ def main():
         "round_bloom_dist": round_wave_dist,
         "scaling": scaling,
     }
+    if terminated:
+        result["terminated"] = True  # SIGTERM mid-run: partial artifact
     print(json.dumps(result), flush=True)
 
 
