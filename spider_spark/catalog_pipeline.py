@@ -464,14 +464,37 @@ def m5_png_features(spark, sf_dir):
 
 
 # =====================================================================
-# crawl engine (rows-only: the DataFrame-native operators exercised on a
-# deterministic in-memory frontier; full parity gates live in tests/)
+# crawl engine (c1 is oracle-backed: the synthetic frontier is pure
+# integer formulas, so DuckDB re-derives the exact dequeue batch; full
+# crawl-loop parity gates live in tests/)
 # =====================================================================
 
-@q("c1_crawl_frontier_dequeue")
+@q(
+    "c1_crawl_frontier_dequeue",
+    # exact twin of the engine dequeue: seed_list/hosts_config are integer
+    # formulas (synth.py), so the oracle regenerates the frontier with
+    # generate_series, ranks (priority, next_fetch_time, url) per host —
+    # priority/next_fetch_time are constant here, leaving url order — and
+    # applies the per-host max_concurrent cap {5,10,20,50} by h%4
+    """WITH seeds AS (
+         SELECT DISTINCT 'http://h' || CAST((i*97+1)%20 AS VARCHAR) || '.example/p' ||
+                CAST((i*13 + i%7)%1000 AS VARCHAR) AS url,
+                (i*97+1)%20 AS h
+         FROM (SELECT unnest(generate_series(0,499)) AS i)
+       ), ranked AS (
+         SELECT url, 'h' || CAST(h AS VARCHAR) || '.example' AS host,
+                CAST(0 AS INT) AS priority,
+                row_number() OVER (PARTITION BY h ORDER BY url) AS rk,
+                CASE h%4 WHEN 0 THEN 5 WHEN 1 THEN 10 WHEN 2 THEN 20 ELSE 50 END AS cap
+         FROM seeds
+       )
+       SELECT url, host, priority FROM ranked WHERE rk <= cap""",
+)
 def c1_crawl_frontier_dequeue(spark, sf_dir):
     """W1 dequeue on a synthetic frontier: rank by (priority,
-    next_fetch_time, url) per host, cap per host."""
+    next_fetch_time, url) per host, cap per host.  Runs the REAL engine
+    path (frontier.dequeue + politeness.eligible_hosts), graded against a
+    DuckDB re-derivation of the whole batch."""
     from . import synth
     from .frontier import dequeue
     from .politeness import eligible_hosts
@@ -566,6 +589,41 @@ def d5_embedding_near_dup(spark, sf_dir):
 
 
 @q(
+    "d6_dup_components",
+    # ground truth: every edge comes from an identical-text group, so the
+    # transitive closure of the chain edges is exactly the text groups —
+    # component = min base doc_id sharing the text (handles the real
+    # duplicate texts in the sf0.1 corpus, not just the planted copies)
+    """SELECT t.member, g.component
+       FROM (SELECT doc_id AS member, text FROM documents
+             UNION ALL SELECT doc_id + 1000000, text FROM documents
+             UNION ALL SELECT doc_id + 2000000, text FROM documents) t
+       JOIN (SELECT text, MIN(doc_id) AS component
+             FROM documents GROUP BY text) g
+         ON t.text = g.text""",
+)
+def d6_dup_components(spark, sf_dir):
+    """Dup-cluster canonicalization: exact-dup chain edges (lag() per
+    content-hash group — a SPANNING CHAIN, so closure genuinely needs
+    label propagation across hops) -> connected_components -> (member,
+    component).  Each doc is planted twice (+1e6, +2e6); chains of >= 3
+    must collapse to the base min id."""
+    from .functions.dedup import connected_components, exact_dup_chain_edges
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    tri = d.unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    ).unionByName(d.select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text"))
+    cc = connected_components(exact_dup_chain_edges(tri))
+    return cc.select(
+        F.col("member").cast("long").alias("member"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+@q(
     "t4_fingerprint_stability",
     # planted-copy determinism gate: identical text -> identical winnowing
     # fingerprint, for every document
@@ -594,20 +652,40 @@ def t4_fingerprint_stability(spark, sf_dir):
     )
 
 
-@q("m3_frame_sample")  # rows-only: fake decode + binary output
+@q(
+    "m3_frame_sample",
+    # analytic ground truth: frames/pixels are integer formulas of
+    # (doc_id, frame, i) (synth_png_video docstring); the sampled frame
+    # set is 0, k, 2k, ... and the R-channel sum is recomputed in SQL —
+    # the real decoder must reproduce it from the actual container bytes
+    """SELECT 'media://doc/' || CAST(s AS VARCHAR) || '/vid0' AS media_ref,
+              CAST(f AS INT) AS frame_idx,
+              CAST(3 + s % 8 AS INT) AS n_frames,
+              CAST(8 + s % 5 AS INT) AS width,
+              CAST(8 + s % 3 AS INT) AS height,
+              CAST(SUM((5*s + 7*f + 11*i) % 256) AS BIGINT) AS sum_r
+       FROM (SELECT s, f, unnest(generate_series(0, (8 + s%5)*(8 + s%3) - 1)) AS i
+             FROM (SELECT doc_id AS s, unnest(generate_series(0, 2 + doc_id % 8, 4)) AS f
+                   FROM documents WHERE doc_id < 150) fr) px
+       GROUP BY s, f""",
+)
 def m3_frame_sample(spark, sf_dir):
-    """Video frame sampling plumbing: one output row per kept frame
-    (every 10th), fixed-slice fake decode — the batch shape an ffmpeg
-    decoder drops into unchanged."""
-    from .functions.multimodal import frame_sample, synth_media_table
+    """Video frame sampling over REAL multi-frame containers: MPNG
+    (length-prefixed PNG frames) parse, O(1) seek past unsampled frames,
+    full PNG decode of every kept frame, one fused python stage
+    (sample_frame_stats).  strict=True: a non-container blob raises at
+    the documented ffmpeg drop-in boundary instead of faking."""
+    from .functions.multimodal import sample_frame_stats, synth_png_video
 
     refs = (
         _t(spark, sf_dir, "documents")
-        .limit(500)
+        .filter(F.col("doc_id") < 150)
         .select(
             F.concat(
                 F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit("/vid0")
-            ).alias("media_ref")
+            ).alias("media_ref"),
+            F.col("doc_id").alias("seed"),
         )
     )
-    return frame_sample(synth_media_table(refs), every_k=10).drop("frame")
+    media = synth_png_video(refs).repartition(8)
+    return sample_frame_stats(media, every_k=4, strict=True)

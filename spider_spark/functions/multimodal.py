@@ -5,9 +5,11 @@ The Spark-side plumbing (schemas, partition-friendly batch shapes,
 mapInPandas signatures) is real and tested.  Decode policy (the codec
 boundary): PNG blobs are decoded FOR REAL — a dependency-free
 spec-conformant codec lives in functions/png.py (zlib inflate + all five
-scanline filters) — while other formats (JPEG/audio/video: no PIL/ffmpeg
-in this container) raise NotImplementedError under ``strict=True`` or
-fall back to a clearly-marked deterministic fake otherwise.
+scanline filters) — and MPNG video containers (length-prefixed PNG
+frames, below) parse + frame-decode for real too; other formats
+(JPEG/audio/MP4: no PIL/ffmpeg in this container) raise
+NotImplementedError under ``strict=True`` or fall back to a
+clearly-marked deterministic fake otherwise.
 
 Reference analog: the crawler streams images to disk separately from text
 (share_func.py:224-242 saveImage) and binarizes captcha pixels
@@ -300,6 +302,156 @@ def resize_media(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFram
                     "width": np.full(len(refs), out_w, dtype=np.int32),
                     "height": np.full(len(refs), out_h, dtype=np.int32),
                     "content": blobs,
+                }
+            )
+
+    return media.select("media_ref", "content").mapInPandas(fn, out_schema)
+
+
+# ------------------------------------------------- multi-frame container
+# Minimal motion-PNG container so VIDEO decode is real too, not only
+# still images: magic + frame count + length-prefixed PNG frames.  The
+# length prefixes give decoders O(1) seek past unsampled frames — the
+# shape an MP4 atom index / MJPEG stream has.
+MPNG_MAGIC = b"MPNG"
+
+
+def encode_mpng(frames: list[bytes]) -> bytes:
+    import struct
+
+    out = [MPNG_MAGIC, struct.pack(">I", len(frames))]
+    for fb in frames:
+        out.append(struct.pack(">I", len(fb)))
+        out.append(fb)
+    return b"".join(out)
+
+
+def is_mpng(data: bytes | None) -> bool:
+    return bool(data) and bytes(data[:4]) == MPNG_MAGIC
+
+
+def parse_mpng(data: bytes) -> list[bytes]:
+    """Container bytes -> per-frame PNG blobs (no pixel decode)."""
+    import struct
+
+    n = struct.unpack(">I", data[4:8])[0]
+    frames, off = [], 8
+    for _ in range(n):
+        ln = struct.unpack(">I", data[off : off + 4])[0]
+        frames.append(data[off + 4 : off + 4 + ln])
+        off += 4 + ln
+    return frames
+
+
+def synth_png_video(refs: DataFrame) -> DataFrame:
+    """REAL-video media store: per ref, an MPNG container of genuine PNG
+    frames with SQL-replicable pixel formulas (the m3 oracle recomputes
+    per-frame channel sums analytically):
+
+      n_frames = 3 + seed % 8,  w = 8 + seed % 5,  h = 8 + seed % 3
+      frame f, pixel i (row-major):
+        R = (5*seed + 7*f + 11*i) % 256
+        G = (3*seed + 13*f + 17*i) % 256
+        B = (seed + f + i) % 5,  A = 255
+    The scanline filter rotates with (seed + f) % 5 so one container
+    exercises every decoder filter branch.
+
+    Input: (media_ref string, seed long); output matches
+    synth_media_table: (media_ref, content, media_kind, n_bytes)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_refs, blobs, nbytes = [], [], []
+            for ref, seed in zip(pdf["media_ref"], pdf["seed"]):
+                s = int(seed)
+                nf, w, h = 3 + s % 8, 8 + s % 5, 8 + s % 3
+                i = np.arange(w * h, dtype=np.int64)
+                frames = []
+                for f in range(nf):
+                    px = np.empty((h, w, 4), dtype=np.uint8)
+                    px[..., 0] = ((5 * s + 7 * f + 11 * i) % 256).reshape(h, w)
+                    px[..., 1] = ((3 * s + 13 * f + 17 * i) % 256).reshape(h, w)
+                    px[..., 2] = ((s + f + i) % 5).reshape(h, w)
+                    px[..., 3] = 255
+                    frames.append(png.encode_png(px, filter_type=(s + f) % 5))
+                data = encode_mpng(frames)
+                out_refs.append(ref)
+                blobs.append(data)
+                nbytes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "media_ref": out_refs,
+                    "content": blobs,
+                    "media_kind": ["video"] * len(out_refs),
+                    "n_bytes": np.array(nbytes, dtype=np.int32),
+                }
+            )
+
+    return refs.select(
+        "media_ref", F.col("seed").cast("long").alias("seed")
+    ).mapInPandas(fn, MEDIA)
+
+
+def sample_frame_stats(
+    media: DataFrame, every_k: int = 4, strict: bool = False
+) -> DataFrame:
+    """Fused sample-every-k-th-frame + REAL per-frame decode + stats, one
+    python stage (CLAUDE.md perf rule 1: never chain two pandas ops in a
+    stage).  MPNG containers parse for real — unsampled frames are
+    SKIPPED via the length prefix, never inflated — and each sampled
+    frame goes through the full PNG decode; non-container blobs raise
+    under strict (the ffmpeg drop-in boundary), else fall back to the
+    fake single-frame decode.
+
+    Output: (media_ref, frame_idx, n_frames, width, height, sum_r) —
+    sum_r = sum of the decoded R channel, the analytic per-frame checksum
+    the m3 oracle recomputes in SQL."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, idxs, totals, ws, hs, sums = [], [], [], [], [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                b = bytes(content or b"")
+                if is_mpng(b):
+                    frames = parse_mpng(b)
+                    for fi in range(0, len(frames), every_k):
+                        px = png.decode_png(frames[fi])
+                        refs.append(ref)
+                        idxs.append(fi)
+                        totals.append(len(frames))
+                        hs.append(px.shape[0])
+                        ws.append(px.shape[1])
+                        sums.append(int(px[..., 0].astype(np.int64).sum()))
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "non-MPNG video decode requires ffmpeg, not available"
+                    )
+                px, _real = _decode_rgba(b)
+                refs.append(ref)
+                idxs.append(0)
+                totals.append(1)
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                sums.append(int(px[..., 0].astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "n_frames": np.array(totals, dtype=np.int32),
+                    "width": np.array(ws, dtype=np.int32),
+                    "height": np.array(hs, dtype=np.int32),
+                    "sum_r": np.array(sums, dtype=np.int64),
                 }
             )
 

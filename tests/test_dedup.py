@@ -156,3 +156,47 @@ def test_embedding_near_pairs_empty_input(spark):
     out = embedding_near_pairs(empty)
     assert out.count() == 0
     assert set(out.columns) == {"id_a", "id_b", "cos_sim"}
+
+
+def test_connected_components_matches_union_find(spark):
+    """CC fixpoint over a seeded random graph == classic union-find."""
+    import random
+
+    from spider_spark.functions.dedup import connected_components
+
+    rng = random.Random(7)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(260)]
+    edges += [(i, i + 1) for i in range(200, 240)]  # a 40-hop chain
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e}
+    expected = {x: min(y for y in touched if find(y) == find(x)) for x in touched}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["member"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected
+
+
+def test_exact_dup_chain_edges_are_spanning(spark):
+    """m identical docs -> exactly m-1 consecutive-id edges, no edges
+    across distinct texts."""
+    from spider_spark.functions.dedup import exact_dup_chain_edges
+
+    rows = [(i, "dup") for i in range(5)] + [(10, "solo"), (20, "other"), (21, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in exact_dup_chain_edges(df).collect()
+    )
+    assert got == [(0, 1), (1, 2), (2, 3), (3, 4), (20, 21)]

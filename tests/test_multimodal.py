@@ -89,3 +89,61 @@ def test_frame_sample_rows_per_kept_frame(spark):
         expected = list(range(0, n, 7))
         assert sorted(r["frame_idx"] for r in rs) == expected
         assert all(len(r["frame"]) > 0 for r in rs)
+
+
+def test_mpng_roundtrip_and_seek():
+    """Container encode -> parse returns the exact frame blobs; each is a
+    decodable PNG."""
+    import numpy as np
+
+    from spider_spark.functions import png
+    from spider_spark.functions.multimodal import encode_mpng, is_mpng, parse_mpng
+
+    frames = []
+    for f in range(5):
+        px = np.full((3, 4, 4), f * 10, dtype=np.uint8)
+        px[..., 3] = 255
+        frames.append(png.encode_png(px, filter_type=f))
+    blob = encode_mpng(frames)
+    assert is_mpng(blob) and not is_mpng(frames[0])
+    back = parse_mpng(blob)
+    assert back == frames
+    assert png.decode_png(back[2])[0, 0, 0] == 20
+
+
+def test_sample_frame_stats_real_decode(spark):
+    """Sampled indices are 0, k, 2k..; stats come from the REAL per-frame
+    decode; strict mode rejects non-container blobs."""
+    import pytest
+    from pyspark.sql import functions as F
+    from spider_spark.functions.multimodal import (
+        sample_frame_stats,
+        synth_media_table,
+        synth_png_video,
+    )
+
+    refs = spark.range(12).select(
+        F.concat(F.lit("media://doc/"), F.col("id"), F.lit("/vid0")).alias("media_ref"),
+        F.col("id").alias("seed"),
+    )
+    out = sample_frame_stats(synth_png_video(refs), every_k=4, strict=True).collect()
+    by_ref: dict = {}
+    for r in out:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    assert len(by_ref) == 12
+    for rs in by_ref.values():
+        n = rs[0]["n_frames"]
+        assert 3 <= n <= 10
+        assert sorted(r["frame_idx"] for r in rs) == list(range(0, n, 4))
+        for r in rs:
+            # sum_r recomputed from the generator formula
+            s = int(r["media_ref"].split("/")[-2])
+            w, h, f = 8 + s % 5, 8 + s % 3, r["frame_idx"]
+            expect = sum((5 * s + 7 * f + 11 * i) % 256 for i in range(w * h))
+            assert (r["width"], r["height"], r["sum_r"]) == (w, h, expect)
+
+    fake = synth_media_table(
+        spark.range(1).select(F.lit("media://doc/1/vid0").alias("media_ref"))
+    )
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        sample_frame_stats(fake, strict=True).collect()
