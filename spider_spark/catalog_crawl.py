@@ -81,6 +81,52 @@ def c2_bloom_stats(spark, sf_dir):
 
 
 @q(
+    "c3_seen_filter_split",
+    # exact ground truth for the WHOLE seen-filter ladder: the final
+    # new/seen split is deterministic even when the Bloom prefilter has
+    # false positives (an FP only routes a row to the exact anti-join,
+    # never drops it) and has no false negatives (a seen row can never
+    # skip the check) — so SQL states the split without modeling the
+    # filter at all.  This is the invariant the engine's dedup relies on.
+    """SELECT 'http://h' || CAST(doc_id % 20 AS VARCHAR) || '.example/p' ||
+              CAST(doc_id AS VARCHAR) AS url,
+              'h' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host
+       FROM documents WHERE doc_id % 3 <> 0""",
+)
+def c3_seen_filter_split(spark, sf_dir):
+    """J5/P10 seen-set dedup end-to-end through the REAL engine path
+    (bloom_prefilter -> definite_new + maybe_seen -> exact anti-join,
+    round.py), on a deterministic universe: every 3rd URL is pre-seen.
+    The small Bloom is deliberately undersized so false positives occur
+    and the anti-join actually earns its keep."""
+    from . import bloom as bloom_mod
+    from . import canon
+
+    urls = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        (F.col("doc_id") % 3 == 0).alias("_seen"),
+    ).withColumn("url_hash", canon.url_hash_col(F.col("url")))
+    seen = urls.filter(F.col("_seen")).select("url_hash", "url")
+    cand = urls.select("url", "host", "url_hash")
+
+    # undersized on purpose: at sf0.1 (~1.7k seen keys) the shards run
+    # >50% full -> hundreds of FPs routed through the exact check
+    b = bloom_mod.ShardedBloom(n_shards=4, bits_per_shard=1 << 10, n_hashes=2)
+    b.update_from_df(spark, seen.select("url_hash"))
+    definite_new, maybe_seen, _bc = bloom_mod.bloom_prefilter(spark, cand, b)
+    checked_new = maybe_seen.join(seen.select("url_hash"), "url_hash", "left_anti")
+    return definite_new.unionByName(checked_new).select("url", "host")
+
+
+@q(
     "a10_approx_distinct",
     None,  # rows-only: HLL sketch values differ from exact COUNT DISTINCT
 )
