@@ -617,15 +617,22 @@ GRADED_WINDOW = [
     "j1_broadcast_enrich", "j2_fk_join", "j3_cache_aside", "j4_anti_range",
     "j5_anti_seen", "j7_semi_join",
     # aggregations (r4: a2 regex-agg out — f4 grades the regex, a5 the
-    # group agg; a4 in — the reference's insert-time unique-key dedup)
+    # group agg; a4 in — the reference's insert-time unique-key dedup;
+    # late-r4: a6 distinct out — a4/u2 already grade distinct shapes)
     "a1_count_by_state", "a4_dedup_unique_key", "a5_group_stats",
-    "a6_distinct", "a7_throughput_by_day",
+    "a7_throughput_by_day",
     # windows / sorts / limits (r4: w3 page-expand out — explode shape
-    # now graded by f17; stays oracle-gated in the tail)
+    # now graded by f17; late-r4: w5b month-params out — date arith is a
+    # scalar shape, f-family covers it; both stay oracle-gated in the tail)
     "w1_ranked_dequeue", "w2_limit_dequeue",
-    "w4_stable_chunking", "w5b_last6_months", "w6_sessionize",
-    # set ops
-    "u2_except", "u3_union_all",
+    "w4_stable_chunking", "w6_sessionize",
+    # set ops (late-r4: u3 union-all out — trivial shape, u2 keeps §2.6)
+    "u2_except",
+    # crawl engine end-to-end + dedup canonicalization + video decode
+    # (late-r4 swaps: the real seen-filter ladder with measured Bloom FPs,
+    # connected-components closure on planted 3-chains, and real
+    # multi-frame MPNG container decode)
+    "c3_seen_filter_split", "d6_dup_components", "m3_frame_sample",
     # scalar functions (r4: f5 rlike out — near-dup of f4's regex;
     # f17 explode+top-k in — the link-extraction shape)
     "f1_json_parse", "f4_regex_extract", "f11_url_format",
