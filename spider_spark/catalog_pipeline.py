@@ -653,6 +653,47 @@ def t4_fingerprint_stability(spark, sf_dir):
 
 
 @q(
+    "t5_bpe_token_count",
+    # equivalence: splitting on every word/non-word boundary and dropping
+    # whitespace leaves (maximal \w+ runs) + (each non-word non-space
+    # char as its own token) — RE2 has no lookarounds, so the oracle
+    # counts the two classes instead of re-splitting
+    """SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '\\w+'))
+                   + length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS INT)
+                  AS n_bpe_tokens
+       FROM documents""",
+)
+def t5_bpe_token_count(spark, sf_dir):
+    """BPE-ish regex token count (words / numbers / punctuation as
+    separate tokens — the cheap subword-tokenizer stand-in for corpus
+    cost estimates), pure JVM codegen."""
+    from .functions.text import bpe_ish_token_count_col
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", bpe_ish_token_count_col(F.col("text")).cast("int").alias("n_bpe_tokens")
+    )
+
+
+@q(
+    "t6_hash_sample",
+    # md5 is identical across engines, so a hex-prefix threshold is a
+    # deterministic, engine-independent sample predicate
+    """SELECT doc_id, lang FROM documents WHERE substr(md5(text), 1, 2) <= '19'""",
+)
+def t6_hash_sample(spark, sf_dir):
+    """Deterministic content-hash sampling (~10%: first md5 byte <= 0x19)
+    — reproducible corpus subsetting for eval splits: no RNG state, no
+    partition-order dependence, same subset on any engine or cluster
+    size.  At 100 TB this is a codegen'd predicate on a narrow scan."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.substring(F.md5(F.col("text").cast("binary")), 1, 2) <= "19")
+        .select("doc_id", "lang")
+    )
+
+
+@q(
     "m3_frame_sample",
     # analytic ground truth: frames/pixels are integer formulas of
     # (doc_id, frame, i) (synth_png_video docstring); the sampled frame
