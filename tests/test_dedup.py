@@ -200,3 +200,42 @@ def test_exact_dup_chain_edges_are_spanning(spark):
         (r["id_a"], r["id_b"]) for r in exact_dup_chain_edges(df).collect()
     )
     assert got == [(0, 1), (1, 2), (2, 3), (3, 4), (20, 21)]
+
+
+def test_star_cc_matches_union_find_and_is_logarithmic(spark):
+    """Large-star/small-star CC == union-find on a random graph, and a
+    100-hop chain converges in O(log) rounds (min-label would need 100)."""
+    import random
+
+    from spider_spark.functions.dedup import connected_components_star
+
+    rng = random.Random(11)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges += [(1000 + i, 1000 + i + 1) for i in range(100)]  # 100-hop chain
+
+    parent = list(range(2000))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e if e[0] != e[1]}
+    # drop pure self-loop-only nodes (star CC never sees them)
+    real = {x for a, b in edges if a != b for x in (a, b)}
+    expected = {x: min(y for y in real if find(y) == find(x)) for x in real}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    stats = {}
+    got = {
+        r["member"]: r["component"]
+        for r in connected_components_star(df, stats=stats).collect()
+    }
+    assert got == expected
+    assert stats["rounds"] <= 12, f"chain took {stats['rounds']} rounds"
