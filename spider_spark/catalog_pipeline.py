@@ -624,6 +624,37 @@ def d6_dup_components(spark, sf_dir):
 
 
 @q(
+    "d7_dup_components_star",
+    # same fixpoint as d6 — the star contraction must land on identical
+    # components (text groups, canonical min base doc_id)
+    """SELECT t.member, g.component
+       FROM (SELECT doc_id AS member, text FROM documents
+             UNION ALL SELECT doc_id + 1000000, text FROM documents
+             UNION ALL SELECT doc_id + 2000000, text FROM documents) t
+       JOIN (SELECT text, MIN(doc_id) AS component
+             FROM documents GROUP BY text) g
+         ON t.text = g.text""",
+)
+def d7_dup_components_star(spark, sf_dir):
+    """d6's chains through the O(log²)-round large-star/small-star CC —
+    the high-diameter scale path must reach the same fixpoint as
+    min-label propagation on real data."""
+    from .functions.dedup import connected_components_star, exact_dup_chain_edges
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    tri = d.unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    ).unionByName(d.select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text"))
+    cc = connected_components_star(exact_dup_chain_edges(tri))
+    return cc.select(
+        F.col("member").cast("long").alias("member"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+@q(
     "t4_fingerprint_stability",
     # planted-copy determinism gate: identical text -> identical winnowing
     # fingerprint, for every document
