@@ -463,6 +463,41 @@ def m5_png_features(spark, sf_dir):
     )
 
 
+@q(
+    "m6_resize_checksum",
+    # analytic twin: nearest-neighbor picks source pixel (oy*h//32,
+    # ox*w//32); R is a formula of (seed, row-major index), so the
+    # resized-grid checksum is pure integer arithmetic
+    """SELECT 'media://doc/' || CAST(s AS VARCHAR) || '/img0' AS media_ref,
+              CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+              CAST(SUM((7*s + 13*(((oy*(16 + s%13))//32)*(16 + s%17)
+                                  + (ox*(16 + s%17))//32)) % 256) AS BIGINT) AS sum_r
+       FROM (SELECT doc_id AS s FROM documents WHERE doc_id < 200) d,
+            (SELECT unnest(generate_series(0, 31)) AS oy) a,
+            (SELECT unnest(generate_series(0, 31)) AS ox) b
+       GROUP BY s""",
+)
+def m6_resize_checksum(spark, sf_dir):
+    """F14-adjacent image resize over REAL PNG bytes: decode through the
+    spec codec, nearest-neighbor resample to 32x32 (the same _nn_resize
+    powering resize_media), R-channel checksum graded against the
+    integer-formula re-derivation."""
+    from .functions.multimodal import resize_stats, synth_png_media
+
+    refs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.concat(
+                F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit("/img0")
+            ).alias("media_ref"),
+            F.col("doc_id").alias("seed"),
+        )
+    )
+    media = synth_png_media(refs).repartition(8)
+    return resize_stats(media, 32, 32, strict=True)
+
+
 # =====================================================================
 # crawl engine (c1 is oracle-backed: the synthetic frontier is pure
 # integer formulas, so DuckDB re-derives the exact dequeue batch; full

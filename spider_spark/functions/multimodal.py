@@ -271,6 +271,15 @@ def binarize_media(media: DataFrame, strict: bool = False) -> DataFrame:
     return media.select("media_ref", "content").mapInPandas(fn, out_schema)
 
 
+def _nn_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (h, w, c) array — the single
+    implementation both resize_media and resize_stats grade."""
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[ys[:, None], xs[None, :]]
+
+
 def resize_media(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
     """Nearest-neighbor resize over binary image columns (mapInPandas).
 
@@ -291,10 +300,7 @@ def resize_media(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFram
             refs, blobs = [], []
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 px, _real = _decode_rgba(content)
-                h, w = px.shape[0], px.shape[1]
-                ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
-                xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-                blobs.append(px[ys[:, None], xs[None, :]].tobytes())
+                blobs.append(_nn_resize(px, out_w, out_h).tobytes())
                 refs.append(ref)
             yield pd.DataFrame(
                 {
@@ -302,6 +308,42 @@ def resize_media(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFram
                     "width": np.full(len(refs), out_w, dtype=np.int32),
                     "height": np.full(len(refs), out_h, dtype=np.int32),
                     "content": blobs,
+                }
+            )
+
+    return media.select("media_ref", "content").mapInPandas(fn, out_schema)
+
+
+def resize_stats(
+    media: DataFrame, out_w: int = 32, out_h: int = 32, strict: bool = False
+) -> DataFrame:
+    """Fused REAL decode + nearest-neighbor resize + R-channel checksum,
+    one python stage.  Same _nn_resize math as resize_media; the sum_r
+    of the resized grid is the analytic value the m6 oracle recomputes
+    from the generator pixel formulas."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, sums = [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                px, _real = _decode_rgba(content, strict)
+                out = _nn_resize(px, out_w, out_h)
+                refs.append(ref)
+                sums.append(int(out[..., 0].astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "width": np.full(len(refs), out_w, dtype=np.int32),
+                    "height": np.full(len(refs), out_h, dtype=np.int32),
+                    "sum_r": np.array(sums, dtype=np.int64),
                 }
             )
 
