@@ -175,6 +175,97 @@ def c4_time_travel_scan(spark, sf_dir):
 
 
 @q(
+    "c5_politeness_gate",
+    # hosts_config is integer formulas (delay h%3, cap {5,10,20,50} by
+    # h%4, see synth.py); state rows exist for h < 20 with
+    # last_fetch_round = h%4, quarantined = (h%5 == 0).  At round 3 a
+    # host passes iff stateless, or not-quarantined with
+    # last + delay <= 3
+    """SELECT 'h' || CAST(h AS VARCHAR) || '.example' AS host,
+              CAST(CASE h%4 WHEN 0 THEN 5 WHEN 1 THEN 10 WHEN 2 THEN 20
+                   ELSE 50 END AS INT) AS max_concurrent
+       FROM (SELECT unnest(generate_series(0, 29)) AS h)
+       WHERE h >= 20 OR (h%5 <> 0 AND h%4 + h%3 <= 3)""",
+)
+def c5_politeness_gate(spark, sf_dir):
+    """T2/T3 politeness: the REAL eligible_hosts gate (crawl-delay window
+    + quarantine flag, stateless hosts pass) on formula-derived host
+    state, re-derived exactly by the oracle."""
+    from . import synth
+    from .politeness import eligible_hosts
+
+    hosts = synth.hosts_config(spark, 30)
+    state = spark.range(20).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example")).alias("host"),
+        (F.col("id") % 4).cast("long").alias("last_fetch_round"),
+        (F.col("id") % 5 == 0).alias("quarantined"),
+    )
+    return eligible_hosts(hosts, state, 3)
+
+
+@q(
+    "c6_robots_filter",
+    # every 7th host disallows the /p13 prefix (hosts_config); a path
+    # '/p<page>' matches iff the page number's decimal string starts '13'
+    """WITH seeds AS (
+         SELECT DISTINCT (i*97+1)%21 AS h, (i*13 + i%7)%2000 AS p
+         FROM (SELECT unnest(generate_series(0, 399)) AS i))
+       SELECT 'http://h' || CAST(h AS VARCHAR) || '.example/p' || CAST(p AS VARCHAR) AS url,
+              'h' || CAST(h AS VARCHAR) || '.example' AS host
+       FROM seeds
+       WHERE NOT (h%7 = 0 AND CAST(p AS VARCHAR) LIKE '13%')""",
+)
+def c6_robots_filter(spark, sf_dir):
+    """T-robots: the REAL robots_allowed filter (JVM exists() over
+    disallow prefixes, no Python) on a formula URL universe — the oracle
+    re-derives exactly which URLs survive."""
+    from . import synth
+    from .politeness import robots_allowed
+
+    urls = synth.seed_list(spark, 400, 21, 2000).select(
+        "url", F.regexp_extract("url", r"^http://([^/]+)/", 1).alias("host")
+    )
+    return robots_allowed(urls, synth.hosts_config(spark, 21)).select("url", "host")
+
+
+@q(
+    "c7_state_machine",
+    # S6/S7/S8 routing at round 5 with max_retries 2: err 0 -> fetched;
+    # err 1/2 -> retry with 2^(rc+1) backoff until the budget, then dead;
+    # err 3 (unknown id) -> dead immediately
+    """SELECT 'u' || CAST(i AS VARCHAR) AS url,
+              CAST(i AS BIGINT) AS url_hash,
+              'h' || CAST(i%10 AS VARCHAR) AS host,
+              CAST(0 AS INT) AS priority, CAST(0 AS INT) AS depth,
+              CASE WHEN i%4 = 0 THEN 'fetched'
+                   WHEN i%4 IN (1,2) AND i%3 + 1 <= 2 THEN 'retry'
+                   ELSE 'dead' END AS state,
+              CAST(CASE WHEN i%4 IN (1,2) THEN i%3 + 1 ELSE i%3 END AS INT) AS retry_count,
+              CAST(CASE WHEN i%4 IN (1,2) AND i%3 + 1 <= 2
+                        THEN 5 + (1 << (i%3 + 1)) ELSE 5 END AS BIGINT) AS next_fetch_time,
+              CAST(0 AS BIGINT) AS discovered_round
+       FROM (SELECT unnest(generate_series(0, 299)) AS i)""",
+)
+def c7_state_machine(spark, sf_dir):
+    """The REAL frontier.state_updates transition (typed err routing,
+    exponential backoff, bounded retry budget) over a formula results
+    batch, graded row-exactly."""
+    from .frontier import state_updates
+
+    results = spark.range(300).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.col("id").cast("long").alias("url_hash"),
+        F.concat(F.lit("h"), F.col("id") % 10).alias("host"),
+        F.lit(0).alias("priority"),
+        F.lit(0).alias("depth"),
+        (F.col("id") % 4).cast("int").alias("err_type"),
+        (F.col("id") % 3).cast("int").alias("retry_count"),
+        F.lit(0).cast("long").alias("discovered_round"),
+    )
+    return state_updates(results, 5, 2)
+
+
+@q(
     "a10_approx_distinct",
     None,  # rows-only: HLL sketch values differ from exact COUNT DISTINCT
 )
