@@ -266,6 +266,50 @@ def c7_state_machine(spark, sf_dir):
 
 
 @q(
+    "c8_merge_upsert",
+    # MERGE ground truth: base keys 0..199, updates overwrite 150..199
+    # and insert 200..249, then keys ending in 3 are deleted — the final
+    # snapshot is a pure formula of the key ranges
+    """SELECT k AS doc_id, src, val FROM (
+         SELECT doc_id AS k, 'base' AS src, doc_id*10 AS val
+         FROM documents WHERE doc_id < 150
+         UNION ALL
+         SELECT doc_id + 150, 'upd', (doc_id + 150)*10 + 1
+         FROM documents WHERE doc_id < 100
+       ) WHERE k % 10 <> 3""",
+)
+def c8_merge_upsert(spark, sf_dir):
+    """S8/S9/S10 in one shot: the REAL TableStore.merge_upsert (MERGE
+    INTO ... WHEN MATCHED UPDATE / NOT MATCHED INSERT / MATCHED-in-
+    delete_keys DELETE as an atomic snapshot swap) — the Iceberg MERGE
+    analog the crawl's frontier write-back runs every round — graded
+    against the analytic final state."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .storage import TableStore
+
+    key = hashlib.md5(("c8:" + sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_c8_store_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, root)
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("doc_id"))
+    base = docs.filter(F.col("doc_id") < 200).select(
+        "doc_id", F.lit("base").alias("src"), (F.col("doc_id") * 10).alias("val")
+    )
+    store.write("m", base)
+    upd = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 150).alias("doc_id"),
+        F.lit("upd").alias("src"),
+        ((F.col("doc_id") + 150) * 10 + 1).alias("val"),
+    )
+    dels = docs.filter((F.col("doc_id") < 250) & (F.col("doc_id") % 10 == 3)).select("doc_id")
+    store.merge_upsert("m", upd, key="doc_id", delete_keys=dels)
+    return store.read("m")
+
+
+@q(
     "a10_approx_distinct",
     None,  # rows-only: HLL sketch values differ from exact COUNT DISTINCT
 )
