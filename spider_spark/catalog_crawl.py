@@ -310,6 +310,48 @@ def c8_merge_upsert(spark, sf_dir):
 
 
 @q(
+    "c9_compacted_partition_read",
+    # five delta appends per bucket, compacted, then a pruned read of
+    # buckets {2,5} — content must be exactly those buckets' rows no
+    # matter how the files were rewritten
+    """SELECT doc_id, CAST(doc_id % 8 AS INT) AS bucket
+       FROM documents WHERE doc_id < 500 AND doc_id % 8 IN (2, 5)""",
+)
+def c9_compacted_partition_read(spark, sf_dir):
+    """S18 + bucketed reads end-to-end: five appends fragment each
+    bucket partition, compact() (the rewrite_data_files analog) rewrites
+    the worst partitions, and read_partitions opens ONLY the requested
+    buckets' members.  The entry raises if compaction never engaged, so
+    the pruned read is provably over rewritten history."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .storage import TableStore
+
+    key = hashlib.md5(("c9:" + sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_c9_store_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, root)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % 8).cast("int").alias("bucket"),
+    )
+    for lo in range(0, 500, 100):
+        sl = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100))
+        if store.exists("t"):
+            store.append("t", sl, partition_by=["bucket"])
+        else:
+            store.write("t", sl, partition_by=["bucket"])
+    compacted = 0
+    while store.compact("t", max_members=2) is not None:
+        compacted += 1
+    if compacted == 0:
+        raise RuntimeError("compaction never engaged — the gate is vacuous")
+    return store.read_partitions("t", [2, 5])
+
+
+@q(
     "a10_approx_distinct",
     None,  # rows-only: HLL sketch values differ from exact COUNT DISTINCT
 )
