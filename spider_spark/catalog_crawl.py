@@ -59,27 +59,42 @@ def w5b_last6_months(spark, sf_dir):
     )
 
 
-@q("c2_bloom_stats")  # rows-only: Bloom internals are not SQL-expressible
+@q(
+    "c2_bloom_stats",
+    # the exact fill ratios are xxhash-dependent (not SQL-derivable), but
+    # the sizing invariant is: every shard of a correctly-built filter
+    # over this key volume lands in a sane fill band — a hashing or
+    # sharding regression (empty shard, saturated shard) flips the flag
+    """SELECT CAST(s AS INT) AS shard, CAST(1 AS BOOLEAN) AS fill_in_band
+       FROM (SELECT unnest(generate_series(0, 7)) AS s)""",
+)
 def c2_bloom_stats(spark, sf_dir):
-    """Sharded-Bloom construction stats over the events id space: shard
-    fill ratios + membership sanity (the seen-filter side structure)."""
+    """Sharded-Bloom construction stats over the events id space: shards
+    are SIZED FROM THE KEY VOLUME (m = next-pow2 of 4*k*n/shard — the
+    sizing discipline a 10^10-key filter lives or dies by), so each
+    measured fill ratio must land inside the (0.01, 0.7) band the math
+    predicts at every SF."""
+    import math
+
     import pandas as pd
 
     from .bloom import ShardedBloom
 
     ids = _t(spark, sf_dir, "events").select(F.xxhash64(F.col("event_id")).alias("url_hash"))
-    b = ShardedBloom(n_shards=8, bits_per_shard=1 << 14, n_hashes=4)
+    n_per_shard = max(ids.count() // 8, 1)
+    bits = 1 << max(14, math.ceil(math.log2(4 * 4 * n_per_shard)))
+    b = ShardedBloom(n_shards=8, bits_per_shard=bits, n_hashes=4)
     b.update_from_df(spark, ids)
     import numpy as np
 
     rows = [
         (
             int(i),
-            float(np.unpackbits(b.shards[i].view(np.uint8)).mean()),
+            bool(0.01 < float(np.unpackbits(b.shards[i].view(np.uint8)).mean()) < 0.7),
         )
         for i in range(b.n_shards)
     ]
-    return spark.createDataFrame(pd.DataFrame(rows, columns=["shard", "fill_ratio"]))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["shard", "fill_in_band"]))
 
 
 @q(
@@ -353,16 +368,22 @@ def c9_compacted_partition_read(spark, sf_dir):
 
 @q(
     "a10_approx_distinct",
-    None,  # rows-only: HLL sketch values differ from exact COUNT DISTINCT
+    # the HLL sketch value itself is engine-specific; the gradable
+    # invariants are the exact cardinality (cross-engine) and the
+    # sketch's documented error bound on this data
+    """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+              CAST(1 AS BOOLEAN) AS within_5pct
+       FROM lineitem""",
 )
 def a10_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HLL) — the metrics-path cardinality sketch
-    (distinct hosts per round, SURVEY.md §2.4 note); exactness gate lives
-    in tests (error < 5% vs exact)."""
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-        )
+    (distinct hosts per round, SURVEY.md §2.4 note): the exact count must
+    match DuckDB and the sketch must sit within its 5% error bound."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey"))
+            / F.countDistinct("l_partkey")
+            < 0.05
+        ).alias("within_5pct"),
     )

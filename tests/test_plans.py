@@ -138,8 +138,8 @@ def test_approx_distinct_close_to_exact(spark):
     from spider_spark.catalog import QUERIES
 
     r = QUERIES["a10_approx_distinct"](spark, SF_DIR).collect()[0]
-    err = abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"]
-    assert err < 0.05, f"HLL error too large: {err}"
+    assert r["within_5pct"], "HLL error bound breached"
+    assert r["exact_parts"] > 0
 
 
 def test_w4_chunking_has_no_single_partition_data_sort(spark):
