@@ -498,6 +498,41 @@ def m6_resize_checksum(spark, sf_dir):
     return resize_stats(media, 32, 32, strict=True)
 
 
+@q(
+    "m7_wav_stats",
+    # analytic twin: samples are ((37s + 11i) % 2003) - 1001 over
+    # n = 500 + s%300 — the real RIFF decode must reproduce the exact
+    # amplitude sum, rate, and count from the encoded bytes
+    """SELECT 'media://doc/' || CAST(s AS VARCHAR) || '/aud0' AS media_ref,
+              CAST(8000 + 100 * (s % 5) AS INT) AS sample_rate,
+              CAST(500 + s % 300 AS INT) AS n_samples,
+              CAST(SUM((37*s + 11*i) % 2003 - 1001) AS BIGINT) AS sum_amp
+       FROM (SELECT doc_id AS s, unnest(generate_series(0, 499 + doc_id % 300)) AS i
+             FROM documents WHERE doc_id < 200) px
+       GROUP BY s""",
+)
+def m7_wav_stats(spark, sf_dir):
+    """AUDIO decode for real: genuine RIFF/WAVE blobs (functions/wav.py
+    chunk-walking PCM16 codec) -> per-blob rate / sample count /
+    amplitude sum, strict at the documented ffmpeg drop-in boundary.
+    Completes the modality set: PNG images, MPNG video, WAV audio all
+    decode real bytes."""
+    from .functions.multimodal import synth_wav_media, wav_stats
+
+    refs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.concat(
+                F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit("/aud0")
+            ).alias("media_ref"),
+            F.col("doc_id").alias("seed"),
+        )
+    )
+    media = synth_wav_media(refs).repartition(8)
+    return wav_stats(media, strict=True)
+
+
 # =====================================================================
 # crawl engine (c1 is oracle-backed: the synthetic frontier is pure
 # integer formulas, so DuckDB re-derives the exact dequeue batch; full

@@ -5,9 +5,10 @@ The Spark-side plumbing (schemas, partition-friendly batch shapes,
 mapInPandas signatures) is real and tested.  Decode policy (the codec
 boundary): PNG blobs are decoded FOR REAL — a dependency-free
 spec-conformant codec lives in functions/png.py (zlib inflate + all five
-scanline filters) — and MPNG video containers (length-prefixed PNG
-frames, below) parse + frame-decode for real too; other formats
-(JPEG/audio/MP4: no PIL/ffmpeg in this container) raise
+scanline filters) — MPNG video containers (length-prefixed PNG frames,
+below) parse + frame-decode for real, and WAV audio decodes for real
+through the RIFF/PCM16 codec in functions/wav.py; other formats
+(JPEG/MP3/MP4: no PIL/ffmpeg in this container) raise
 NotImplementedError under ``strict=True`` or fall back to a
 clearly-marked deterministic fake otherwise.
 
@@ -344,6 +345,95 @@ def resize_stats(
                     "width": np.full(len(refs), out_w, dtype=np.int32),
                     "height": np.full(len(refs), out_h, dtype=np.int32),
                     "sum_r": np.array(sums, dtype=np.int64),
+                }
+            )
+
+    return media.select("media_ref", "content").mapInPandas(fn, out_schema)
+
+
+# ------------------------------------------------------- audio (WAV/PCM)
+def synth_wav_media(refs: DataFrame) -> DataFrame:
+    """REAL-audio media store: per ref, a genuine RIFF/WAVE blob
+    (functions/wav.py) with SQL-replicable integer samples:
+
+      sample_rate = 8000 + 100 * (seed % 5)
+      n_samples   = 500 + seed % 300
+      sample[i]   = ((37*seed + 11*i) % 2003) - 1001   (int16-safe)
+
+    Input (media_ref string, seed long); output matches
+    synth_media_table: (media_ref, content, media_kind, n_bytes)."""
+    from . import wav
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_refs, blobs, nbytes = [], [], []
+            for ref, seed in zip(pdf["media_ref"], pdf["seed"]):
+                s = int(seed)
+                rate = 8000 + 100 * (s % 5)
+                n = 500 + s % 300
+                i = np.arange(n, dtype=np.int64)
+                samples = (((37 * s + 11 * i) % 2003) - 1001).astype(np.int16)
+                data = wav.encode_wav(samples, rate)
+                out_refs.append(ref)
+                blobs.append(data)
+                nbytes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "media_ref": out_refs,
+                    "content": blobs,
+                    "media_kind": ["audio"] * len(out_refs),
+                    "n_bytes": np.array(nbytes, dtype=np.int32),
+                }
+            )
+
+    return refs.select(
+        "media_ref", F.col("seed").cast("long").alias("seed")
+    ).mapInPandas(fn, MEDIA)
+
+
+def wav_stats(media: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL audio decode + stats in one python stage: RIFF chunk-walk,
+    PCM16 samples out, (rate, count, amplitude sum) per blob — the
+    feature row an audio-quality filter keys on.  Non-WAV blobs raise
+    under strict (the codec drop-in boundary) or fall back to zeroed
+    stats with n_samples = -1 (clearly marked undecodable)."""
+    from . import wav
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sum_amp", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, rates, counts, sums = [], [], [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                b = bytes(content or b"")
+                if wav.is_wav(b):
+                    rate, samples = wav.decode_wav(b)
+                    refs.append(ref)
+                    rates.append(rate)
+                    counts.append(len(samples))
+                    sums.append(int(samples.astype(np.int64).sum()))
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires ffmpeg, not available"
+                    )
+                refs.append(ref)
+                rates.append(0)
+                counts.append(-1)
+                sums.append(0)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "sample_rate": np.array(rates, dtype=np.int32),
+                    "n_samples": np.array(counts, dtype=np.int32),
+                    "sum_amp": np.array(sums, dtype=np.int64),
                 }
             )
 

@@ -147,3 +147,65 @@ def test_sample_frame_stats_real_decode(spark):
     )
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         sample_frame_stats(fake, strict=True).collect()
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """Encode -> decode is exact; decoders skip foreign chunks (LIST)
+    spec-conformantly; malformed payloads raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spider_spark.functions import wav
+
+    samples = (((37 * 7 + 11 * np.arange(703, dtype=np.int64)) % 2003) - 1001).astype(
+        np.int16
+    )
+    blob = wav.encode_wav(samples, 8700)
+    rate, back = wav.decode_wav(blob)
+    assert rate == 8700 and np.array_equal(back, samples)
+    assert wav.is_wav(blob) and not wav.is_wav(b"RIFFxxxx....")
+
+    # insert a LIST chunk between fmt and data: chunk walk must skip it
+    hdr, rest = blob[: 12 + 24], blob[12 + 24 :]
+    lst = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"
+    blob2 = blob[:12] + hdr[12:] + lst + rest
+    r2, b2 = wav.decode_wav(blob2)
+    assert r2 == 8700 and np.array_equal(b2, samples)
+
+    with pytest.raises(ValueError, match="signature"):
+        wav.decode_wav(b"not a wav at all")
+
+
+def test_wav_stats_real_decode(spark):
+    """Spark-side wav_stats decodes genuine RIFF bytes; strict mode
+    rejects non-WAV blobs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spider_spark.functions.multimodal import (
+        synth_media_table,
+        synth_wav_media,
+        wav_stats,
+    )
+
+    refs = spark.range(15).select(
+        F.concat(F.lit("media://doc/"), F.col("id"), F.lit("/aud0")).alias("media_ref"),
+        F.col("id").alias("seed"),
+    )
+    out = {r["media_ref"]: r for r in wav_stats(synth_wav_media(refs), strict=True).collect()}
+    assert len(out) == 15
+    for ref, r in out.items():
+        s = int(ref.split("/")[-2])
+        n = 500 + s % 300
+        expect = sum(((37 * s + 11 * i) % 2003) - 1001 for i in range(n))
+        assert (r["sample_rate"], r["n_samples"], r["sum_amp"]) == (
+            8000 + 100 * (s % 5), n, expect,
+        )
+
+    fake = synth_media_table(
+        spark.range(1).select(F.lit("media://doc/1/aud0").alias("media_ref"))
+    )
+    with pytest.raises(Exception):  # NotImplementedError inside the worker
+        wav_stats(fake, strict=True).collect()
