@@ -608,7 +608,8 @@ from . import catalog_records  # noqa: E402,F401  (registration side-effect)
 # oracle-backed with a representative of every operator family.  Entries
 # outside the window keep full local verification: tests/test_oracle.py
 # mirrors the driver compare for EVERY oracle-backed entry, and the
-# rows-only ops (s2/s3/m1/c2) are gated by recall/parity tests.
+# three rows-only ops (s2/s3 approximate ANN top-k, m1 fake-decode
+# fallback demo) are gated by recall/featurize tests.
 GRADED_WINDOW = [
     # projections / validation
     "p1_key_convert", "p9_mask", "p11_sanity_filter", "p12_param_validation",

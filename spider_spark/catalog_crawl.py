@@ -1,6 +1,9 @@
-"""Catalog part 4: remaining crawl-shape operators with oracles —
-pagination fan-out (W3), month-window parameter generation used by the
-operator sweep, Bloom stats (rows-only), and lineage-style audit."""
+"""Catalog part 4: crawl-engine operators under the oracle gate —
+pagination fan-out (W3), month-window parameter generation, the
+seen-filter ladder end-to-end (c3), snapshot semantics (c4 time-travel /
+incremental scan, c8 MERGE, c9 compaction + pruned reads), the
+politeness / robots / retry-state gates (c5-c7), and invariant oracles
+for the Bloom fill band (c2) and the HLL error bound (a10)."""
 
 from __future__ import annotations
 

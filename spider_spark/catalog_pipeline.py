@@ -3,9 +3,11 @@ join, and the training-data pipeline operators (dedup / similarity /
 text analysis / multimodal) over the testdata tables.
 
 Entries without an oracle are genuinely non-SQL-expressible in DuckDB
-(minhash-LSH, simhash, LSH-ANN, media featurization, crawl rounds) and
-get rows-only checks; their correctness gates live in tests/ (recall vs
-brute force, exact-copy recovery, etc.).
+(the raw approximate-ANN top-k lists s2/s3, the fake-decode fallback
+demo m1) and get rows-only checks; their correctness gates live in
+tests/ (recall vs brute force).  Everything else — including minhash /
+simhash / CC dedup, the real PNG / MPNG / WAV decodes, and ANN recall —
+carries a planted-ground-truth or analytic-formula oracle.
 """
 
 from __future__ import annotations
