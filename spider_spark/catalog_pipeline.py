@@ -535,6 +535,45 @@ def m7_wav_stats(spark, sf_dir):
     return wav_stats(media, strict=True)
 
 
+@q(
+    "m8_jpeg_stats",
+    # analytic twin: constant 16x16 tiles with v_t = (23s + 41t) % 256
+    # quantize exactly under the codec's flat step-8 table, so the real
+    # baseline-JPEG decode (Huffman + IDCT + restart markers) must
+    # reproduce every pixel — sum_r is 256 * v_t summed over tiles
+    """SELECT 'media://doc/' || CAST(s AS VARCHAR) || '/jpg0' AS media_ref,
+              CAST(16 * (2 + s % 3) AS INT) AS width,
+              CAST(16 * (1 + s % 2) AS INT) AS height,
+              CAST(SUM(256 * ((23*s + 41*t) % 256)) AS BIGINT) AS sum_r
+       FROM (SELECT doc_id AS s,
+                    unnest(generate_series(0, (2 + doc_id%3)*(1 + doc_id%2) - 1)) AS t
+             FROM documents WHERE doc_id < 200) px
+       GROUP BY s""",
+)
+def m8_jpeg_stats(spark, sf_dir):
+    """JPEG decode for real: genuine baseline-sequential blobs
+    (functions/jpeg.py — marker parse, canonical Huffman, IDCT, DRI/RSTn
+    rotating with the seed) -> per-blob width / height / R-channel sum,
+    strict at the documented PIL/ffmpeg drop-in boundary.  JPEG is the
+    format the reference crawler actually persists (share_func.py:224-242
+    saveImage), so the dominant web image format now decodes real bytes
+    alongside PNG, MPNG video, and WAV audio."""
+    from .functions.multimodal import jpeg_stats, synth_jpeg_media
+
+    refs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.concat(
+                F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit("/jpg0")
+            ).alias("media_ref"),
+            F.col("doc_id").alias("seed"),
+        )
+    )
+    media = synth_jpeg_media(refs).repartition(8)
+    return jpeg_stats(media, strict=True)
+
+
 # =====================================================================
 # crawl engine (c1 is oracle-backed: the synthetic frontier is pure
 # integer formulas, so DuckDB re-derives the exact dequeue batch; full

@@ -3,12 +3,14 @@ with typed metadata.
 
 The Spark-side plumbing (schemas, partition-friendly batch shapes,
 mapInPandas signatures) is real and tested.  Decode policy (the codec
-boundary): PNG blobs are decoded FOR REAL — a dependency-free
-spec-conformant codec lives in functions/png.py (zlib inflate + all five
-scanline filters) — MPNG video containers (length-prefixed PNG frames,
-below) parse + frame-decode for real, and WAV audio decodes for real
-through the RIFF/PCM16 codec in functions/wav.py; other formats
-(JPEG/MP3/MP4: no PIL/ffmpeg in this container) raise
+boundary): PNG and baseline JPEG blobs are decoded FOR REAL —
+dependency-free spec-conformant codecs live in functions/png.py (zlib
+inflate + all five scanline filters) and functions/jpeg.py (DQT/DHT/
+SOF0/SOS parse, Huffman entropy decode, IDCT, 4:4:4 / 4:2:0, restart
+markers) — MPNG video containers (length-prefixed PNG frames, below)
+parse + frame-decode for real, and WAV audio decodes for real through
+the RIFF/PCM16 codec in functions/wav.py; remaining formats
+(MP3/MP4/progressive JPEG: no PIL/ffmpeg in this container) raise
 NotImplementedError under ``strict=True`` or fall back to a
 clearly-marked deterministic fake otherwise.
 
@@ -28,21 +30,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import png
+from . import jpeg, png
 
 
 def _decode_rgba(content, strict: bool = False) -> tuple[np.ndarray, bool]:
     """Blob -> (h, w, 4) uint8 RGBA + whether the decode was real.
 
-    PNG bytes go through the real codec; anything else is the stubbed
-    step: NotImplementedError when strict, deterministic bytes->grid fake
-    otherwise (swapping in PIL/ffmpeg changes only this branch)."""
+    PNG and baseline JPEG bytes go through the real codecs; anything else
+    is the stubbed step: NotImplementedError when strict, deterministic
+    bytes->grid fake otherwise (swapping in PIL/ffmpeg changes only this
+    branch)."""
     b = bytes(content or b"")
     if png.is_png(b):
         return png.decode_png(b), True
+    if jpeg.is_jpeg(b):
+        rgb = jpeg.decode_jpeg(b)
+        rgba = np.concatenate(
+            [rgb, np.full(rgb.shape[:2] + (1,), 255, dtype=np.uint8)], axis=2
+        )
+        return rgba, True
     if strict:
         raise NotImplementedError(
-            "non-PNG decode requires PIL/ffmpeg, not available in this container"
+            "non-PNG/JPEG decode requires PIL/ffmpeg, not available in this container"
         )
     a = np.frombuffer(b, dtype=np.uint8)
     n_px = max(len(a) // 4, 1)
@@ -174,9 +183,14 @@ def decode_and_featurize(media: DataFrame, strict: bool = False) -> DataFrame:
                     heights[i], widths[i] = px.shape[0], px.shape[1]
                     frames[i] = 1
                     continue
+                if jpeg.is_jpeg(bytes(content or b"")):
+                    px = jpeg.decode_jpeg(bytes(content))
+                    heights[i], widths[i] = px.shape[0], px.shape[1]
+                    frames[i] = 1
+                    continue
                 if strict:
                     raise NotImplementedError(
-                        "non-PNG decode requires PIL/ffmpeg, not available in this container"
+                        "non-PNG/JPEG decode requires PIL/ffmpeg, not available in this container"
                     )
                 seed = int(b[:8].astype(np.int64).sum()) if len(b) >= 8 else 0
                 widths[i] = 16 + seed % 1024
@@ -344,6 +358,101 @@ def resize_stats(
                     "media_ref": refs,
                     "width": np.full(len(refs), out_w, dtype=np.int32),
                     "height": np.full(len(refs), out_h, dtype=np.int32),
+                    "sum_r": np.array(sums, dtype=np.int64),
+                }
+            )
+
+    return media.select("media_ref", "content").mapInPandas(fn, out_schema)
+
+
+def synth_jpeg_media(refs: DataFrame) -> DataFrame:
+    """REAL-JPEG media store: per ref, deterministic grayscale pixels
+    built from constant 16x16 tiles, encoded through the real baseline
+    codec (jpeg.encode_jpeg).  Constant tiles quantize EXACTLY under the
+    flat step-8 table (DC = 8*(v-128) is a step multiple; AC = 0), so the
+    decode side reproduces every pixel bit-exactly and a SQL oracle can
+    recompute downstream checksums analytically:
+
+      tiles across tw = 2 + seed % 3, tiles down th = 1 + seed % 2
+      w = 16*tw, h = 16*th; tile t (row-major, 0..tw*th-1) has constant
+      value v_t = (23*seed + 41*t) % 256
+    The restart interval rotates with seed % 3 in {0, 1, 2} so the graded
+    path also exercises DRI/RSTn framing and DC-predictor resets.
+
+    Input: (media_ref string, seed long).  Output matches
+    synth_media_table: (media_ref, content, media_kind, n_bytes)."""
+    from . import jpeg as _jpeg
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_refs, blobs, nbytes = [], [], []
+            for ref, seed in zip(pdf["media_ref"], pdf["seed"]):
+                s = int(seed)
+                tw, th = 2 + s % 3, 1 + s % 2
+                t = (np.arange(th * 16)[:, None] // 16) * tw + (
+                    np.arange(tw * 16)[None, :] // 16
+                )
+                px = ((23 * s + 41 * t) % 256).astype(np.uint8)
+                data = _jpeg.encode_jpeg(px, restart_interval=s % 3)
+                out_refs.append(ref)
+                blobs.append(data)
+                nbytes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "media_ref": out_refs,
+                    "content": blobs,
+                    "media_kind": ["image"] * len(out_refs),
+                    "n_bytes": np.array(nbytes, dtype=np.int32),
+                }
+            )
+
+    return refs.select(
+        "media_ref", F.col("seed").cast("long").alias("seed")
+    ).mapInPandas(fn, MEDIA)
+
+
+def jpeg_stats(media: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL JPEG decode + stats fused in one python stage: marker parse,
+    Huffman entropy decode, dequant + IDCT, then (width, height, R-channel
+    sum) per blob — the m8 oracle recomputes sum_r analytically from the
+    generator tile formulas.  Non-JPEG blobs raise under strict (the
+    PIL/ffmpeg drop-in boundary) or report n/a dims with sum_r = -1."""
+    from . import jpeg as _jpeg
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, ws, hs, sums = [], [], [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                b = bytes(content or b"")
+                if _jpeg.is_jpeg(b):
+                    rgb = _jpeg.decode_jpeg(b)
+                    refs.append(ref)
+                    hs.append(rgb.shape[0])
+                    ws.append(rgb.shape[1])
+                    sums.append(int(rgb[..., 0].astype(np.int64).sum()))
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "non-JPEG decode requires PIL/ffmpeg, not available"
+                    )
+                refs.append(ref)
+                hs.append(0)
+                ws.append(0)
+                sums.append(-1)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "width": np.array(ws, dtype=np.int32),
+                    "height": np.array(hs, dtype=np.int32),
                     "sum_r": np.array(sums, dtype=np.int64),
                 }
             )
