@@ -12,7 +12,9 @@ deterministic subset of RFC 3986 normalization):
 4. drop default ports (:80 http, :443 https)
 5. strip fragments (#...)
 6. collapse duplicate slashes in the path
-7. drop a trailing '?' and a bare trailing slash on non-root paths
+7. drop any trailing run of '?' / '/' (empty queries, bare trailing
+   slashes on non-root paths) — in one pass to its fixpoint, so
+   canonicalization is idempotent
 
 ``url_hash`` is Spark's builtin ``xxhash64`` (seed 42) on the canonical
 string — JVM-side, whole-stage-codegen'd, zero Python cost.  The reference
@@ -78,8 +80,15 @@ def _canonicalize_slow(urls: pd.Series, bases: pd.Series | None = None) -> pd.Se
     rest = parts[2].fillna("")
     rest = rest.str.replace(r"#.*$", "", regex=True)       # strip fragment
     rest = rest.str.replace(r"/{2,}", "/", regex=True)     # collapse //
-    rest = rest.str.replace(r"\?+$", "", regex=True)       # trailing ?-run (empty query)
-    rest = rest.str.replace(r"(.)/$", r"\1", regex=True)   # trailing / (non-root)
+    # Trailing junk = any run of '?' / '/' at the end (empty queries,
+    # non-root trailing slashes).  One pass must reach the fixpoint —
+    # stripping '?'-runs and slashes as separate sequential rules is NOT
+    # idempotent ('/?/' -> '/?' -> '/', hypothesis-found): strip the whole
+    # run when a real path/query char precedes it, else reduce the
+    # junk-only rest to '/' (root) or '' (bare '?').
+    rest = rest.str.replace(r"(?<=[^/?])[/?]+$", "", regex=True)
+    rest = rest.str.replace(r"^\?[/?]*$", "", regex=True)
+    rest = rest.str.replace(r"^/[/?]*$", "/", regex=True)
     host = parts[1].str.lower()
     scheme_lc = parts[0].str.lower()
     host = host.where(~(scheme_lc.eq("http") & host.str.endswith(":80")), host.str.replace(r":80$", "", regex=True))
