@@ -648,10 +648,13 @@ GRADED_WINDOW = [
     # +m2 real-PNG decode->binarize — both formerly rows-only families)
     "s1_cosine_topk", "s5_ann_planted_recall", "m2_binarize_media",
     "m4_captcha_ocr",
-    # record-parser families
+    # record-parser families (late-r4: r8 credit-enforce out — fourth
+    # credit-table parse, r1/r2/r7 keep the family; it stays oracle-gated
+    # in the tail.  m8 in: real baseline-JPEG decode — the format the
+    # reference crawler persists — graded end-to-end)
     "r1_credit_query_parse", "r2_credit_card_parse", "r3_phone_book_parse",
     "r4_operator_user_json", "r5_operator_note_records", "r6_phone_attribution",
-    "r7_credit_guarantee_parse", "r8_credit_enforce_parse",
+    "r7_credit_guarantee_parse", "m8_jpeg_stats",
     # headline analytical queries
     "q3_top_orders", "q5_nation_revenue",
 ]
