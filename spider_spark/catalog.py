@@ -598,6 +598,7 @@ from . import catalog_pipeline  # noqa: E402,F401  (registration side-effect)
 from . import catalog_extra  # noqa: E402,F401  (registration side-effect)
 from . import catalog_crawl  # noqa: E402,F401  (registration side-effect)
 from . import catalog_records  # noqa: E402,F401  (registration side-effect)
+from . import catalog_streaming  # noqa: E402,F401  (registration side-effect)
 
 
 # ---------------------------------------------------------------- ordering
@@ -614,8 +615,9 @@ GRADED_WINDOW = [
     # projections / validation
     "p1_key_convert", "p9_mask", "p11_sanity_filter", "p12_param_validation",
     # joins (j6 dim-lookup swapped out r4: near-dup of j1's broadcast
-    # join; it stays oracle-gated in the tail)
-    "j1_broadcast_enrich", "j2_fk_join", "j3_cache_aside", "j4_anti_range",
+    # join; late-r4: j4 anti-range out — the anti-join shape is graded by
+    # the engine-relevant j5 anti-seen; both stay oracle-gated in the tail)
+    "j1_broadcast_enrich", "j2_fk_join", "j3_cache_aside",
     "j5_anti_seen", "j7_semi_join",
     # aggregations (r4: a2 regex-agg out — f4 grades the regex, a5 the
     # group agg; a4 in — the reference's insert-time unique-key dedup;
@@ -635,9 +637,15 @@ GRADED_WINDOW = [
     # multi-frame MPNG container decode)
     "c3_seen_filter_split", "d6_dup_components", "m3_frame_sample",
     # scalar functions (r4: f5 rlike out — near-dup of f4's regex;
-    # f17 explode+top-k in — the link-extraction shape)
-    "f1_json_parse", "f4_regex_extract", "f11_url_format",
+    # f17 explode+top-k in — the link-extraction shape; late-r4: f11
+    # url-format out — scalar concat, four f-entries keep the family)
+    "f1_json_parse", "f4_regex_extract",
     "f17_explode_tokens", "f19_sorted_array_agg",
+    # Structured Streaming (late-r4, previously never driver-graded):
+    # watermarked windowed agg and the applyInPandasWithState stateful
+    # operator, both availableNow-drained so batch equivalence is the
+    # SQL-checkable expectation
+    "st1_stream_window_counts", "st3_stream_stateful_totals",
     # text analysis
     "t1_token_count", "t2_quality_ratio", "t3_langid_markers",
     "t4_fingerprint_stability",

@@ -1,0 +1,115 @@
+"""Catalog part 5: Structured Streaming entries under the oracle gate.
+
+The reference crawler is a batch loop (flask_spider run_spider round
+ticker); its streaming-analog semantics (SURVEY.md §2.8 T1-T5) are
+graded through the crawl-engine entries (c5-c7).  These entries grade
+the GENUINELY streaming surface (spider_spark/streaming/windows.py) in
+the driver gate: with ``Trigger.AvailableNow`` over a static staged copy
+of the events table, each streaming result equals a batch aggregate, so
+DuckDB can state the expectation exactly.
+
+Staging: Spark's file-stream source requires a DIRECTORY, so each entry
+symlinks (or rewrites) the events parquet into an SF-keyed scratch dir.
+The checkpoint dir is wiped per call — a reused availableNow checkpoint
+would see zero new files and drain an empty batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .catalog import _t, q
+
+
+def _stage(spark, sf_dir: str, tag: str, transform=None) -> tuple[str, str]:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_{tag}_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    if transform is None:
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+    else:
+        transform(_t(spark, sf_dir, "events")).write.mode("overwrite").parquet(src)
+    return src, os.path.join(root, "cp")
+
+
+@q(
+    "st1_stream_window_counts",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              event_type, COUNT(*) AS n
+       FROM events GROUP BY 1, 2""",
+)
+def st1_stream_window_counts(spark, sf_dir):
+    """readStream(events) -> watermark -> 1-day tumbling-window counts,
+    drained with availableNow into a memory sink (streaming/windows.py).
+    Over one static batch the watermark drops nothing, so the
+    complete-mode result equals the batch groupBy — the per-day crawl
+    report the reference's round loop derives, restated by DuckDB."""
+    from .streaming.windows import windowed_event_counts_stream
+
+    src, cp = _stage(spark, sf_dir, "st1")
+    out = windowed_event_counts_stream(spark, src, cp)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@q(
+    "st2_stream_dedup_keys",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def st2_stream_dedup_keys(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) — the
+    seen-set anti-join's streaming twin (J5).  Which physical row
+    survives per key is engine-chosen, so the graded projection is the
+    key set itself, which must be exactly the batch DISTINCT."""
+    from .streaming.windows import streaming_dedup
+
+    src, cp = _stage(spark, sf_dir, "st2")
+    out = streaming_dedup(spark, src, cp, keys=["user_id", "event_type"])
+    return out.select(F.col("user_id").cast("long").alias("user_id"), "event_type")
+
+
+@q(
+    "st3_stream_stateful_totals",
+    """SELECT event_type, COUNT(*) AS n,
+              SUM(FLOOR(value * 4) / 4) AS total
+       FROM events GROUP BY event_type""",
+)
+def st3_stream_stateful_totals(spark, sf_dir):
+    """applyInPandasWithState running totals — the streaming twin of the
+    per-host politeness/token state (T2/T5: the GroupState row is a
+    hosts-bucket shape).  Values are quantized to exact binary quarters
+    at staging so the running float sum is order-independent and
+    DuckDB's SUM is bit-equal (and the operator's round(total, 2) is the
+    identity on quarters).  Update mode emits one cumulative row per key
+    per micro-batch; the final state is the row with the highest n."""
+    from .streaming.windows import stateful_running_counts
+
+    src, cp = _stage(
+        spark,
+        sf_dir,
+        "st3",
+        transform=lambda e: e.select(
+            "ts", "event_type", (F.floor(F.col("value") * 4) / 4).alias("value")
+        ),
+    )
+    out = stateful_running_counts(spark, src, cp, key="event_type")
+    last = Window.partitionBy("event_type").orderBy(F.desc("n"))
+    return (
+        out.withColumn("rk", F.row_number().over(last))
+        .filter(F.col("rk") == 1)
+        .select("event_type", "n", "total")
+    )
