@@ -58,12 +58,22 @@ def st1_stream_window_counts(spark, sf_dir):
     from .streaming.windows import windowed_event_counts_stream
 
     src, cp = _stage(spark, sf_dir, "st1")
-    out = windowed_event_counts_stream(spark, src, cp)
-    return out.select(
-        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
-        "event_type",
-        F.col("n").cast("long").alias("n"),
-    )
+    # F.window() buckets are epoch/UTC-aligned while the NTZ cast and the
+    # day formatting use the session timezone; pin it to UTC so the day
+    # label always round-trips the parquet wall clock.  Timezone-aware
+    # expressions capture the zone at analysis time, so restoring the
+    # conf after the (eagerly analyzed) result frame is built is safe.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        out = windowed_event_counts_stream(spark, src, cp)
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
 
 
 @q(
