@@ -93,6 +93,28 @@ def st2_stream_dedup_keys(spark, sf_dir):
 
 
 @q(
+    "st4_stream_static_join",
+    """SELECT c.c_mktsegment AS segment, COUNT(*) AS n
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1""",
+)
+def st4_stream_static_join(spark, sf_dir):
+    """Stream-static broadcast join (the streaming twin of J1): each
+    micro-batch joins the static customer dim, then aggregates counts
+    per market segment; with one availableNow batch the result is the
+    batch inner-join groupBy, which DuckDB restates."""
+    from .streaming.windows import stream_static_join_counts
+
+    src, cp = _stage(spark, sf_dir, "st4")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    out = stream_static_join_counts(spark, src, dim, cp)
+    return out.select("segment", F.col("n").cast("long").alias("n"))
+
+
+@q(
     "st3_stream_stateful_totals",
     """SELECT event_type, COUNT(*) AS n,
               SUM(FLOOR(value * 4) / 4) AS total

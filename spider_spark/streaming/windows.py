@@ -100,6 +100,36 @@ def streaming_dedup(
     return spark.table(name)
 
 
+def stream_static_join_counts(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    checkpoint_dir: str,
+    on: str = "user_id",
+    label: str = "segment",
+) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream joins the
+    (re-read-per-batch) static dim — the streaming twin of the broadcast
+    enrich (J1).  Spark broadcasts the dim side per batch when it is
+    small, exactly the hot path a per-host config or geo dim takes at
+    cluster scale.  Aggregated counts per dim label, availableNow."""
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    joined = stream.join(F.broadcast(dim), on=on, how="inner")
+    agg = joined.groupBy(label).agg(F.count(F.lit(1)).alias("n"))
+    name = _next_name("ssjoin")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{checkpoint_dir}/{name}")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stateful_running_counts(
     spark: SparkSession,
     events_path: str,

@@ -43,6 +43,31 @@ def test_streaming_dedup_keeps_one_per_key(spark, tmp_path):
     assert got.count() == n_keys
 
 
+def test_stream_static_join_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spider_spark.streaming.windows import stream_static_join_counts
+
+    path = _events_dir(tmp_path)
+    dim = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .select(
+            F.col("c_custkey").cast("long").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    got = stream_static_join_counts(spark, path, dim, str(tmp_path / "cp_ss"))
+    exp = (
+        spark.read.parquet(path)
+        .join(dim, "user_id", "inner")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = {(r["segment"], r["n"]) for r in got.collect()}
+    e = {(r["segment"], r["n"]) for r in exp.collect()}
+    assert g == e and len(g) > 0
+
+
 def test_stateful_running_counts_match_batch(spark, tmp_path):
     from pyspark.sql import functions as F
 
