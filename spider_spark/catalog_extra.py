@@ -231,3 +231,103 @@ def f11_url_format(spark, sf_dir):
         F.lit(".example/p"), (F.col("event_id") % 1000).cast("string"),
     )
     return ev.groupBy(url.alias("url")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "j8_asof_last_click",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+            c AS (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'click')
+       SELECT p_id, user_id, c_id, c_value FROM (
+         SELECT p.event_id AS p_id, p.user_id AS user_id,
+                c.event_id AS c_id, ROUND(c.value, 6) AS c_value,
+                ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                   ORDER BY c.ts DESC, c.event_id DESC) AS rn
+         FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts) t
+       WHERE rn = 1""",
+)
+def j8_asof_last_click(spark, sf_dir):
+    """As-of (point-in-time) join: for each purchase, the latest click by
+    the same user at or before it — the cache-aside "newest state before
+    this moment" lookup (check_spider.py:64-96 picks the most recent
+    crawl row) as a first-class operator.  One union + window pass
+    (functions/temporal.py asof_join): a single key shuffle, no theta
+    join, no row explosion; the DuckDB twin is the naive O(n^2-per-user)
+    inequality join + ROW_NUMBER, which must agree exactly."""
+    from .functions.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("c_id"), F.col("value").alias("c_value")
+    )
+    j = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["c_id", "c_value"], how="inner",
+    )
+    return j.select(
+        "p_id", "user_id", "c_id", F.round("c_value", 6).alias("c_value")
+    )
+
+
+@q(
+    "j9_interval_count",
+    """WITH iv AS (SELECT event_id AS win_id, epoch_us(ts) AS s,
+                          epoch_us(ts) + 60000000 * (1 + event_id % 30) AS e
+                   FROM events WHERE event_type = 'error'),
+            pt AS (SELECT epoch_us(ts) AS p, value FROM events
+                   WHERE event_type = 'view')
+       SELECT iv.win_id AS win_id, COUNT(pt.p) AS n_views,
+              ROUND(COALESCE(SUM(pt.value), 0), 4) AS sum_value
+       FROM iv LEFT JOIN pt ON pt.p >= iv.s AND pt.p < iv.e
+       GROUP BY iv.win_id""",
+)
+def j9_interval_count(spark, sf_dir):
+    """Range (point-in-interval) join: each error event opens an
+    irregular blackout window [ts, ts + (1 + event_id % 30) minutes);
+    count the view events falling inside each window regardless of user
+    — the per-host quiet-window shape of the politeness gate, with NO
+    equi key.  Naive Spark plans this as a nested-loop; the engine path
+    (functions/temporal.py bucketed_interval_join, 30-min buckets)
+    keeps it an ordinary equi-join; windows with zero views are kept at
+    0 via the interval-side left join.  Session TZ is pinned to UTC so
+    the NTZ->epoch cast matches DuckDB's epoch_us exactly (st1's
+    pattern; analysis-time capture makes restoring the conf safe)."""
+    from .functions.temporal import bucketed_interval_join
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        base = _t(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        iv = base.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("win_id"),
+            F.col("us").alias("s"),
+            (F.col("us") + F.lit(60000000) * (F.lit(1) + F.col("event_id") % 30)).alias("e"),
+        )
+        pt = base.filter(F.col("event_type") == "view").select(
+            F.col("us").alias("p"), "value"
+        )
+        matched = bucketed_interval_join(
+            pt, iv, point_col="p", start_col="s", end_col="e",
+            bucket_width=30 * 60 * 1_000_000, max_span_buckets=8,
+        )
+        agg = matched.groupBy("win_id").agg(
+            F.count("p").alias("mn"), F.sum("value").alias("mv")
+        )
+        return (
+            iv.select("win_id")
+            .join(agg, "win_id", "left")
+            .select(
+                "win_id",
+                F.coalesce(F.col("mn"), F.lit(0)).cast("long").alias("n_views"),
+                F.round(F.coalesce(F.col("mv"), F.lit(0.0)), 4).alias("sum_value"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
