@@ -363,6 +363,8 @@ HEADLINE_QUERIES = [
     "t1_token_count",
     "s1_cosine_topk",
     "c1_crawl_frontier_dequeue",
+    "j8_asof_last_click",
+    "j9_interval_count",
 ]
 
 

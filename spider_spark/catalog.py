@@ -612,13 +612,18 @@ from . import catalog_streaming  # noqa: E402,F401  (registration side-effect)
 # three rows-only ops (s2/s3 approximate ANN top-k, m1 fake-decode
 # fallback demo) are gated by recall/featurize tests.
 GRADED_WINDOW = [
-    # projections / validation
-    "p1_key_convert", "p9_mask", "p11_sanity_filter", "p12_param_validation",
+    # projections / validation (r4 final: p9 mask out — scalar projection,
+    # p1/p11/p12 keep the family; stays oracle-gated in the tail)
+    "p1_key_convert", "p11_sanity_filter", "p12_param_validation",
     # joins (j6 dim-lookup swapped out r4: near-dup of j1's broadcast
     # join; late-r4: j4 anti-range out — the anti-join shape is graded by
-    # the engine-relevant j5 anti-seen; both stay oracle-gated in the tail)
+    # the engine-relevant j5 anti-seen; r4 final: j7 semi out — the
+    # existence-join shape is j5's complement; in their place the two
+    # temporal joins Spark lacks as built-ins, j8 as-of (union+window
+    # single shuffle) and j9 range (bucketed equi, no cartesian) —
+    # j4/j7 stay oracle-gated in the tail)
     "j1_broadcast_enrich", "j2_fk_join", "j3_cache_aside",
-    "j5_anti_seen", "j7_semi_join",
+    "j5_anti_seen", "j8_asof_last_click", "j9_interval_count",
     # aggregations (r4: a2 regex-agg out — f4 grades the regex, a5 the
     # group agg; a4 in — the reference's insert-time unique-key dedup;
     # late-r4: a6 distinct out — a4/u2 already grade distinct shapes)
