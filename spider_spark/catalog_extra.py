@@ -331,3 +331,34 @@ def j9_interval_count(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+@q(
+    "a12_quantile_sketch",
+    # the approx sketch value is engine-specific; gradable invariants:
+    # the EXACT interpolated quantiles (cross-engine, Spark percentile
+    # == DuckDB quantile_cont) and the sketch landing within 5% of the
+    # per-group value range
+    """SELECT event_type,
+              ROUND(quantile_cont(value, 0.5), 4) AS p50,
+              ROUND(quantile_cont(value, 0.95), 4) AS p95,
+              CAST(1 AS BOOLEAN) AS approx_in_band
+       FROM events GROUP BY event_type""",
+)
+def a12_quantile_sketch(spark, sf_dir):
+    """Quantile summary per group: exact interpolated p50/p95 (the
+    latency-percentile shape of the claw-log metrics, share_func.py
+    clawLog) plus the scale path — percentile_approx (Greenwald-Khanna
+    sketch, mergeable across partitions, the 100-TB operator) gated to
+    within 5% of the per-group value range of the exact median.  Same
+    invariant-oracle pattern as a10's HLL bound."""
+    ev = _t(spark, sf_dir, "events")
+    p50 = F.percentile("value", F.lit(0.5))
+    band = (F.max("value") - F.min("value")) * 0.05
+    return ev.groupBy("event_type").agg(
+        F.round(p50, 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        (F.abs(F.percentile_approx("value", F.lit(0.5), F.lit(1000)) - p50) <= band).alias(
+            "approx_in_band"
+        ),
+    )
