@@ -872,3 +872,56 @@ def m3_frame_sample(spark, sf_dir):
     )
     media = synth_png_video(refs).repartition(8)
     return sample_frame_stats(media, every_k=4, strict=True)
+
+
+@q(
+    "t7_tfidf_top_term",
+    # rank on the ROUNDED score (then term) so a 1-ulp ln() difference
+    # between engines can never flip the winner; mathematically-equal
+    # scores (e.g. 2*ln(N/10) == ln(N/100)) are common in synthetic text
+    """WITH terms AS (
+         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+       dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf)
+       SELECT doc_id, term AS top_term, score FROM (
+         SELECT tf.doc_id, tf.term,
+                ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 4) AS score,
+                ROW_NUMBER() OVER (
+                  PARTITION BY tf.doc_id
+                  ORDER BY ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 4) DESC,
+                           tf.term) AS rn
+         FROM tf JOIN dfreq USING (term) CROSS JOIN n) t
+       WHERE rn = 1""",
+)
+def t7_tfidf_top_term(spark, sf_dir):
+    """TF-IDF document keyword extraction — per-doc top term by
+    tf * ln(N/df): explode terms -> (doc,term) counts -> doc-frequency
+    agg -> broadcast the 1-row corpus size -> rank per doc.  The
+    training-pipeline "what is this document about" scorer; all JVM
+    (regexp_extract_all + two shuffles on term/doc), no Python.  At
+    100 TB the vocabulary agg is the small side (broadcastable) and the
+    per-doc rank shuffles on doc_id only."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{2,}"), 0)).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "score")
+    )
