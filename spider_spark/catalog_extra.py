@@ -362,3 +362,81 @@ def a12_quantile_sketch(spark, sf_dir):
             "approx_in_band"
         ),
     )
+
+
+@q(
+    "g1_pagerank3",
+    # 3 unrolled power iterations; every float literal is cast to DOUBLE
+    # (DuckDB would otherwise run DECIMAL arithmetic and diverge); the
+    # final score is PR * N (mean 1.0) so round(6) keeps real precision
+    """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+       edges AS (
+         SELECT doc_id AS src, (7 * doc_id + 13) % (SELECT n FROM nn) AS dst
+         FROM documents
+         UNION ALL
+         SELECT doc_id, (11 * doc_id + 29) % (SELECT n FROM nn) FROM documents),
+       pr0 AS (SELECT doc_id AS v, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
+               FROM documents),
+       pr1 AS (SELECT d.doc_id AS v,
+                      CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                      + CAST(0.85 AS DOUBLE) * COALESCE(SUM(p.pr / 2), 0) AS pr
+               FROM documents d
+               LEFT JOIN edges e ON e.dst = d.doc_id
+               LEFT JOIN pr0 p ON p.v = e.src
+               GROUP BY d.doc_id),
+       pr2 AS (SELECT d.doc_id AS v,
+                      CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                      + CAST(0.85 AS DOUBLE) * COALESCE(SUM(p.pr / 2), 0) AS pr
+               FROM documents d
+               LEFT JOIN edges e ON e.dst = d.doc_id
+               LEFT JOIN pr1 p ON p.v = e.src
+               GROUP BY d.doc_id),
+       pr3 AS (SELECT d.doc_id AS v,
+                      CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                      + CAST(0.85 AS DOUBLE) * COALESCE(SUM(p.pr / 2), 0) AS pr
+               FROM documents d
+               LEFT JOIN edges e ON e.dst = d.doc_id
+               LEFT JOIN pr2 p ON p.v = e.src
+               GROUP BY d.doc_id)
+       SELECT v AS doc_id, ROUND(pr * (SELECT n FROM nn), 6) AS score FROM pr3""",
+)
+def g1_pagerank3(spark, sf_dir):
+    """Fixed-iteration PageRank over a deterministic out-degree-2 link
+    graph (dst = (7*id+13)%N and (11*id+29)%N) — the iterative
+    join+agg DataFrame loop, the float sibling of the d6/d7 integer
+    label-propagation fixpoints; 3 power iterations keep it exactly
+    SQL-replicable.  Host-authority scoring is the crawl use (prioritize
+    well-linked hosts); at scale each iteration is one shuffle on dst
+    and the rank vector stays columnar (the production loop would
+    localCheckpoint per iteration like connected_components does)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = None
+    for a, b in ((7, 13), (11, 29)):
+        e = docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.lit(a) * F.col("doc_id") + F.lit(b)) % F.lit(n)).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionAll(e)
+    ranks = docs.select(F.col("doc_id").alias("v"), F.lit(1.0 / n).alias("pr"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["v"])
+            .select("dst", (F.col("pr") / 2).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            docs.select(F.col("doc_id").alias("v"))
+            .join(contrib, F.col("v") == F.col("dst"), "left")
+            .select(
+                "v",
+                (
+                    F.lit(0.15 / n)
+                    + F.lit(0.85) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks.select(
+        F.col("v").alias("doc_id"), F.round(F.col("pr") * F.lit(n), 6).alias("score")
+    )
