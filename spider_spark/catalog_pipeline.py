@@ -925,3 +925,30 @@ def t7_tfidf_top_term(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("term").alias("top_term"), "score")
     )
+
+
+@q(
+    "t8_stratified_sample",
+    # md5 is engine-independent, so per-group rank by (md5, doc_id) is a
+    # deterministic stratified sample: same 20 docs per lang on any
+    # engine, any partitioning, any cluster size
+    """SELECT lang, doc_id FROM (
+         SELECT lang, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY md5(text), doc_id) AS rn
+         FROM documents) t
+       WHERE rn <= 20""",
+)
+def t8_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: fixed-size per-stratum subset
+    ranked by content hash — the eval-split / per-language quota shape
+    (t6's global sample, stratified).  No RNG state, no partition-order
+    dependence; at 100 TB this is one window shuffle on the stratum key
+    (or a TakeOrdered per group via repartition+sortWithinPartitions)."""
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("text").cast("binary")), "doc_id")
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+    )
