@@ -36,7 +36,7 @@ from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -278,22 +278,36 @@ class TableStore:
             out = out.unionByName(p)
         return out
 
-    def _check_schema(self, table: str, df: DataFrame, manifest: dict, what: str) -> None:
+    def _check_schema(
+        self,
+        table: str,
+        df: DataFrame,
+        manifest: dict,
+        what: str,
+        allow_evolution: bool = False,
+    ) -> None:
         """Fail fast when an incoming frame's columns don't match the
         committed manifest schema — without this an append with an extra
         column (e.g. toggling keep_raw_body on an existing documents
         table) would be silently truncated on read, and a missing column
-        would read back as nulls (ADVICE r2)."""
+        would read back as nulls (ADVICE r2).
+
+        ``allow_evolution=True`` (Iceberg add-column analog) permits the
+        incoming frame to carry NEW columns on top of the committed set;
+        missing columns and type drift on existing columns stay hard
+        errors either way — evolution is additive only."""
         have = [f.name for f in df.schema.fields]
         want = manifest["columns"]
         if sorted(have) != sorted(want):
             extra = sorted(set(have) - set(want))
             missing = sorted(set(want) - set(have))
-            raise ValueError(
-                f"{what} to table '{table}': schema mismatch vs committed manifest "
-                f"(extra columns {extra}, missing columns {missing}); "
-                f"evolve the table with write() to change its schema"
-            )
+            if not (allow_evolution and extra and not missing):
+                raise ValueError(
+                    f"{what} to table '{table}': schema mismatch vs committed manifest "
+                    f"(extra columns {extra}, missing columns {missing}); "
+                    f"evolve the table with write() or append(allow_evolution=True) "
+                    f"to add columns"
+                )
         # names match — now types (ADVICE r3): a same-named column of a
         # different type would otherwise surface later as a confusing
         # parquet read error or a silent coercion.  simpleString ignores
@@ -303,7 +317,7 @@ class TableStore:
         drift = {
             f.name: (f.dataType.simpleString(), want_types[f.name])
             for f in df.schema.fields
-            if f.dataType.simpleString() != want_types[f.name]
+            if f.name in want_types and f.dataType.simpleString() != want_types[f.name]
         }
         if drift:
             raise ValueError(
@@ -327,21 +341,41 @@ class TableStore:
         pcol = partition_by[0] if partition_by else None
         return self._commit_version(table, v, members, df.schema, pcol)
 
-    def append(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
+    def append(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        allow_evolution: bool = False,
+    ) -> str:
         """Iceberg-append analog: write ONLY df as a new segment and link
         it into the next manifest — O(delta) I/O per append, the existing
         members are untouched (round 1 rewrote the whole table here;
-        VERDICT r1 #4)."""
+        VERDICT r1 #4).
+
+        ``allow_evolution=True`` is the Iceberg add-column analog: new
+        columns in df extend the manifest schema (forced nullable — old
+        segments don't have them); existing segments are NOT rewritten,
+        their rows read back with the new columns null-filled via the
+        explicit read schema, and time-travel (`read_at`) keeps serving
+        each snapshot with its own snapshot-time schema."""
         if not self.exists(table):
             return self.write(table, df, partition_by)
         prev = self._manifest(table)
         pcol = prev.get("partition_col")
         if partition_by and partition_by[0] != pcol:
             raise ValueError(f"append partition spec {partition_by} != table spec {pcol}")
-        self._check_schema(table, df, prev, "append")
+        self._check_schema(table, df, prev, "append", allow_evolution=allow_evolution)
         v = self._next_version(table)
         new_members = self._write_segment(table, v, df, [pcol] if pcol else None)
         schema = StructType.fromJson(json.loads(prev["schema"]))
+        committed_names = {f.name for f in schema.fields}
+        added = [f for f in df.schema.fields if f.name not in committed_names]
+        if added:  # only reachable with allow_evolution (checked above)
+            schema = StructType(
+                schema.fields
+                + [StructField(f.name, f.dataType, nullable=True) for f in added]
+            )
         return self._commit_version(table, v, prev["members"] + new_members, schema, pcol)
 
     def merge_upsert(
