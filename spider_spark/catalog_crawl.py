@@ -390,3 +390,59 @@ def a10_approx_distinct(spark, sf_dir):
             < 0.05
         ).alias("within_5pct"),
     )
+
+
+@q(
+    "c10_schema_evolution_scan",
+    # round 1 commits doc_id-only rows (< 200); round 2 appends rows in
+    # [200, 300) with an evolved gen = doc_id % 7 column.  The current
+    # read must null-fill gen on the un-rewritten round-1 segment, and
+    # the AS-OF round-1 read must still be the old two-hundred rows
+    # (its snapshot-time schema has no gen at all — asserted in-function)
+    """SELECT 'evolved' AS probe, doc_id, CAST(NULL AS BIGINT) AS gen
+       FROM documents WHERE doc_id < 200
+       UNION ALL
+       SELECT 'evolved', doc_id, doc_id % 7
+       FROM documents WHERE doc_id >= 200 AND doc_id < 300
+       UNION ALL
+       SELECT 'asof_r1', doc_id, CAST(NULL AS BIGINT)
+       FROM documents WHERE doc_id < 200""",
+)
+def c10_schema_evolution_scan(spark, sf_dir):
+    """Iceberg add-column evolution end-to-end through the REAL
+    TableStore: commit a doc_id-only snapshot, evolve with
+    append(allow_evolution=True) adding gen, then grade (a) the current
+    read — old segment null-filled, never rewritten — and (b) the
+    time-travel read AS OF round 1, which must serve the snapshot-time
+    schema (no gen column; asserted here, value-graded via the twin)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .storage import TableStore
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_c10_store_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, root)
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("doc_id"))
+    store.append("evo", docs.filter(F.col("doc_id") < 200))
+    store.commit_round(1)
+    store.append(
+        "evo",
+        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300)).withColumn(
+            "gen", F.col("doc_id") % 7
+        ),
+        allow_evolution=True,
+    )
+    store.commit_round(2)
+    current = store.read("evo").select(F.lit("evolved").alias("probe"), "doc_id", "gen")
+    asof = store.read_at("evo", round_id=1)
+    if asof.columns != ["doc_id"]:
+        raise AssertionError(
+            f"read_at(round=1) must serve the snapshot-time schema, got {asof.columns}"
+        )
+    asof = asof.select(
+        F.lit("asof_r1").alias("probe"), "doc_id", F.lit(None).cast("long").alias("gen")
+    )
+    return current.unionByName(asof)
