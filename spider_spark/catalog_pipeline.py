@@ -952,3 +952,66 @@ def t8_stratified_sample(spark, sf_dir):
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id")
     )
+
+
+@q(
+    "d8_decontaminate",
+    # construct -> detect identity oracle: the benchmark set is carved
+    # from the corpus itself (doc_id % 97 == 0), so any doc sharing an
+    # 8-gram with a benchmark doc (exact-duplicate partners, quoted
+    # runs) must be flagged with its exact distinct-shingle overlap
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                     FROM documents),
+       sh AS (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(0, len(t) - 7)),
+                                           i -> array_to_string(t[i:i+7], ' '))) AS shingle
+              FROM toks),
+       bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+       hits AS (SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_shared
+                FROM sh s JOIN bench b USING (shingle)
+                WHERE s.doc_id % 97 <> 0
+                GROUP BY s.doc_id)
+       SELECT 'contaminated' AS probe, doc_id, n_shared FROM hits
+       UNION ALL
+       SELECT 'benchmark' AS probe, doc_id, CAST(0 AS BIGINT) AS n_shared
+       FROM documents WHERE doc_id % 97 = 0""",
+)
+def d8_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the training-corpus hygiene op: flag
+    every document sharing an exact 8-gram shingle with the eval set
+    (here carved deterministically from the corpus, doc_id % 97 == 0).
+    Tokens -> sliding 8-gram shingles (JVM transform/slice, no Python)
+    -> per-doc distinct shingles -> equi-join against the benchmark
+    shingle set -> distinct-overlap count.  At 100 TB the join key would
+    be xxhash64(shingle) (8 bytes instead of the string) and the
+    benchmark side — eval sets are tiny — broadcasts; the corpus side
+    streams through one shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("t")
+    ).filter(F.size("t") >= 8)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 7),
+                lambda i: F.concat_ws(" ", F.slice("t", i, 8)),
+            )
+        ).alias("shingle"),
+    ).dropDuplicates(["doc_id", "shingle"])
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    hits = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return hits.select(
+        F.lit("contaminated").alias("probe"), "doc_id", "n_shared"
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.lit("benchmark").alias("probe"),
+            "doc_id",
+            F.lit(0).cast("long").alias("n_shared"),
+        )
+    )
