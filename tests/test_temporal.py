@@ -180,3 +180,56 @@ def test_j8_asof_plan_is_single_shuffle(spark):
     assert plan.count("hashpartitioning(") == 1, (
         "the union feeding the window must shuffle once on user_id"
     )
+
+
+# ------------------------------------------- seeded randomized parity
+
+import numpy as np
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_asof_join_randomized_matches_naive(spark, seed):
+    rng = np.random.default_rng(seed)
+    keys = ["a", "b", "c", "d"]
+    left = [
+        (keys[int(rng.integers(4))], int(rng.integers(0, 50)), i)
+        for i in range(40)
+    ]
+    right = [
+        (keys[int(rng.integers(4))], int(rng.integers(0, 50)), int(rng.integers(0, 1000)))
+        for _ in range(40)
+    ]
+    ldf = spark.createDataFrame(left, "key string, lts long, lid long")
+    rdf = spark.createDataFrame(right, "key string, rts long, rv long")
+    got = {
+        r["lid"]: (r["asof_matched_ts"], r["rv"])
+        for r in asof_join(
+            ldf, rdf, on="key", left_ts="lts", right_ts="rts",
+            right_cols=["rv"], how="left",
+        ).collect()
+    }
+    for key, lts, lid in left:
+        cands = [(rts, rv) for k, rts, rv in right if k == key and rts <= lts]
+        want = max(cands) if cands else (None, None)
+        assert got[lid] == want, (seed, lid)
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_bucketed_interval_join_randomized_matches_naive(spark, seed):
+    rng = np.random.default_rng(seed)
+    ivs = [
+        (i, int(s), int(s) + int(rng.integers(0, 40)))
+        for i, s in enumerate(rng.integers(0, 300, size=30))
+    ]
+    pts = [(int(p),) for p in rng.integers(0, 320, size=60)]
+    ivdf = spark.createDataFrame(ivs, "win long, s long, e long")
+    ptdf = spark.createDataFrame(pts, "p long")
+    got = sorted(
+        (r["win"], r["p"])
+        for r in bucketed_interval_join(
+            ptdf, ivdf, point_col="p", start_col="s", end_col="e",
+            bucket_width=16, max_span_buckets=8,
+        ).collect()
+    )
+    want = sorted((w, p) for w, s, e in ivs for (p,) in pts if s <= p < e)
+    assert got == want, seed
