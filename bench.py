@@ -86,6 +86,37 @@ def _probe_child(_i) -> float:
     return cpu_probe(1_000_000)
 
 
+def _bw_child(args) -> float:
+    idx, cpus = args
+    try:
+        os.sched_setaffinity(0, {cpus[idx % len(cpus)]})
+    except OSError:
+        pass
+    return cpu_probe(2_000_000)  # 16 MB working set -> streams DRAM
+
+
+def bw_probe_percore(cores: int) -> float:
+    """Per-core STREAMING throughput with exactly `cores` pinned active
+    cores (cpus 0..cores-1, matching the taskset mask the legs run
+    under).  Captures the hardware's own active-core scaling: on this
+    single-socket VM the memory pipe is shared, so per-core streaming
+    rate drops 10-60% going 2 -> 8 active cores (measured; the
+    L2-resident compute rate only drops 0-9%).  A real cluster going
+    N -> 4N EXECUTORS multiplies DRAM bandwidth with the executor count,
+    so the pinned 2c/8c pair UNDERSTATES cluster scaling by exactly this
+    hardware ratio — recording it per pair makes a sub-0.8 raw
+    efficiency attributable to the shared pipe, not the engine."""
+    import multiprocessing as mp_mod
+
+    ctx = mp_mod.get_context("fork")
+    cpus = list(range(cores))
+    args = [(i, cpus) for i in range(cores)]
+    with ctx.Pool(cores) as pool:
+        pool.map(_bw_child, args)  # warm (page faults + core wake)
+        total = float(sum(pool.map(_bw_child, args)))
+    return total / cores
+
+
 def mp_probe(cores: int) -> float:
     """Aggregate multi-core CPU rate: `cores` concurrent single-thread
     probes (forked children), summed.  Detects LOAD-TRIGGERED capping the
@@ -575,7 +606,9 @@ def main():
                     n_waits[0] += 1
                 wait_spent[0] += time.monotonic() - t0
                 try:
+                    bw_big_pc = bw_probe_percore(big)
                     bw = leg(big)
+                    bw_small_pc = bw_probe_percore(small)
                     sw = leg(small)
                 except Exception as e:  # never lose the JSON line to a hiccup
                     log(f"bench: scaling pair failed ({e})")
@@ -585,10 +618,19 @@ def main():
                 thr[big] = max(thr.get(big, 0.0), b)
                 thr[small] = max(thr.get(small, 0.0), s)
                 e_pair = round(eff_of(s, b), 3)
+                # hardware's own active-core streaming scaling for this
+                # window; a real N->4N cluster has hw_scaling == 1.0
+                hw_scaling = bw_big_pc / bw_small_pc if bw_small_pc else None
                 pair = {"small": s, "big": b, "efficiency": e_pair,
                         "agg_mops_at_start": round(agg / 1e6, 1) if agg else None,
                         "probe_mops_big": bw.get("probe_mops"),
-                        "probe_mops_small": sw.get("probe_mops")}
+                        "probe_mops_small": sw.get("probe_mops"),
+                        "bw_mops_percore_big": round(bw_big_pc / 1e6, 1),
+                        "bw_mops_percore_small": round(bw_small_pc / 1e6, 1),
+                        "hw_scaling": round(hw_scaling, 3) if hw_scaling else None,
+                        "efficiency_hw_adj": (
+                            round(e_pair / hw_scaling, 3) if hw_scaling else None
+                        )}
                 pair_log.append(pair)
                 log(f"  pair[{attempt}]: efficiency {e_pair}")
                 if 0.8 <= e_pair <= 1.1:
@@ -599,11 +641,15 @@ def main():
             terminated = True
             log("bench: SIGTERM during scaling — emitting pairs so far")
 
+        hw_vals = sorted(p["hw_scaling"] for p in pair_log if p.get("hw_scaling"))
         scaling = {
             "cores_small": small,
             "cores_big": big,
             "pairs": pair_log,
             "pairs_in_band": len(in_band),
+            "hw_scaling_median": (
+                round(hw_vals[len(hw_vals) // 2], 3) if hw_vals else None
+            ),
             "pinned": bool(__import__("shutil").which("taskset")),
             "probe_best_mops": round(_PROBE_BEST / 1e6, 1),
             "probe_wait_sec": round(wait_spent[0], 1),
@@ -618,6 +664,7 @@ def main():
                 urls_per_sec_small=rep["small"],
                 urls_per_sec_big=rep["big"],
                 efficiency=round(med, 3),
+                efficiency_hw_adj=rep.get("efficiency_hw_adj"),
                 method="back_to_back_pair",
                 self_consistent=len(in_band) >= 2,
             )
