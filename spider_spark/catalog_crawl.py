@@ -446,3 +446,54 @@ def c10_schema_evolution_scan(spark, sf_dir):
         F.lit("asof_r1").alias("probe"), "doc_id", F.lit(None).cast("long").alias("gen")
     )
     return current.unionByName(asof)
+
+
+@q(
+    "s7_json_source_corrupt_routing",
+    # staged copy of events as JSON lines plus exactly 7 planted corrupt
+    # lines: the schema-enforced PERMISSIVE read must route every bad
+    # line to _corrupt_record (never drop, never crash) and keep every
+    # good row — so DuckDB states the result from the original parquet table
+    """SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+       UNION ALL
+       SELECT '_corrupt' AS event_type, CAST(7 AS BIGINT) AS n""",
+)
+def s7_json_source_corrupt_routing(spark, sf_dir):
+    """S1/S7-analog file source: schema-enforced JSON-lines ingest with
+    corrupt-record routing (the reference consumes JSON APIs and routes
+    unparseable payloads to err-3, china_unicom.py returnResult guards;
+    at scale a fetch tier lands JSONL and the engine must route bad
+    lines as DATA, not task failures).  PERMISSIVE mode + explicit
+    schema + columnNameOfCorruptRecord; good rows aggregate identically
+    to the parquet original."""
+    import hashlib
+    import os as _os
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = _os.path.join(tempfile.gettempdir(), f"spider_spark_s7_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    src = _os.path.join(root, "src")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").json(src)
+    with open(_os.path.join(src, "part-corrupt.json"), "w") as f:
+        for i in range(7):
+            f.write(f'{{"event_id": "not-a-number-{i}", "event_type": [broken\n')
+    schema = (
+        "event_id bigint, event_type string, value double, _corrupt_record string"
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(src)
+    )
+    routed = raw.select(
+        F.when(F.col("_corrupt_record").isNotNull(), F.lit("_corrupt"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type")
+    )
+    return routed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
