@@ -632,7 +632,10 @@ GRADED_WINDOW = [
     # windows / sorts / limits (r4: w3 page-expand out — explode shape
     # now graded by f17; late-r4: w5b month-params out — date arith is a
     # scalar shape, f-family covers it; both stay oracle-gated in the tail)
-    "w1_ranked_dequeue", "w2_limit_dequeue",
+    # (r4 final: w2 limit-dequeue out — the TakeOrdered top-k plan shape
+    # is graded by q3; g1 in — 3-iteration PageRank, the iterative float
+    # join+agg family the window lacked; w2 stays oracle-gated in tail)
+    "w1_ranked_dequeue", "g1_pagerank3",
     "w4_stable_chunking", "w6_sessionize",
     # set ops (late-r4: u3 union-all out — trivial shape, u2 keeps §2.6)
     "u2_except",
@@ -656,7 +659,10 @@ GRADED_WINDOW = [
     "t4_fingerprint_stability",
     # dedup ladder
     "d1_exact_dedup", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
-    "d4_ngram_jaccard", "d5_embedding_near_dup",
+    # (r4 final: d4 n-gram-Jaccard verify out — the pairwise-verify shape
+    # is inside d2's banded pipeline; d8 benchmark decontamination in —
+    # the corpus-hygiene op; d4 stays oracle-gated in the tail)
+    "d8_decontaminate", "d5_embedding_near_dup",
     # similarity / media (r4: +s5 multi-probe ANN planted recall,
     # +m2 real-PNG decode->binarize — both formerly rows-only families)
     "s1_cosine_topk", "s5_ann_planted_recall", "m2_binarize_media",

@@ -100,8 +100,8 @@ def test_graded_window_is_oracle_dense():
     assert all(n in ORACLES for n in first50)
     for family in (
         "r1", "r2", "r3", "r4", "r5", "r6", "r7",
-        "d1", "d2", "d3", "d4", "d5", "d6", "t4", "p12", "q3", "q5", "s1",
-        "m2", "m3", "m4", "m8", "c3", "st1", "st3",
+        "d1", "d2", "d3", "d5", "d6", "d8", "t4", "p12", "q3", "q5", "s1",
+        "m2", "m3", "m4", "m8", "c3", "st1", "st3", "j8", "j9", "g1",
     ):
         assert any(n.startswith(family + "_") for n in first50), family
 
