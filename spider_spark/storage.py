@@ -41,6 +41,13 @@ from pyspark.sql.types import StructField, StructType
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed between this operation's snapshot read
+    and its commit — the Iceberg optimistic-concurrency conflict.  The
+    caller must re-read the table and retry; committing anyway would
+    silently drop the other writer's members from the manifest chain."""
+
+
 class TableStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -136,7 +143,14 @@ class TableStore:
         members: list[dict],
         schema: StructType,
         partition_col: str | None,
+        expected: str | None = None,
     ) -> str:
+        if expected is not None and self.current_version(table) != expected:
+            raise ConcurrentCommitError(
+                f"table '{table}': expected version {expected} at commit time "
+                f"but found {self.current_version(table)} — another writer "
+                f"committed first; re-read and retry"
+            )
         self._write_manifest(
             table,
             version,
@@ -359,9 +373,10 @@ class TableStore:
         their rows read back with the new columns null-filled via the
         explicit read schema, and time-travel (`read_at`) keeps serving
         each snapshot with its own snapshot-time schema."""
-        if not self.exists(table):
+        base = self.current_version(table)
+        if base is None:
             return self.write(table, df, partition_by)
-        prev = self._manifest(table)
+        prev = self._manifest(table, base)
         pcol = prev.get("partition_col")
         if partition_by and partition_by[0] != pcol:
             raise ValueError(f"append partition spec {partition_by} != table spec {pcol}")
@@ -376,7 +391,9 @@ class TableStore:
                 schema.fields
                 + [StructField(f.name, f.dataType, nullable=True) for f in added]
             )
-        return self._commit_version(table, v, prev["members"] + new_members, schema, pcol)
+        return self._commit_version(
+            table, v, prev["members"] + new_members, schema, pcol, expected=base
+        )
 
     def merge_upsert(
         self,
@@ -417,7 +434,8 @@ class TableStore:
             if delete_keys is not None:
                 merged = merged.join(delete_keys.select(key), on=key, how="left_anti")
             return self.write(table, merged, partition_by)
-        prev = self._manifest(table)
+        base_v = self.current_version(table)
+        prev = self._manifest(table, base_v)
         pcol = prev.get("partition_col")
         immutable = set(immutable_partitions or [])
         if immutable and pcol is None:
@@ -431,7 +449,9 @@ class TableStore:
         new_members = self._write_segment(table, v, merged, [pcol] if pcol else None)
         kept = [m for m in prev["members"] if m["value"] in immutable]
         schema = StructType.fromJson(json.loads(prev["schema"]))
-        return self._commit_version(table, v, kept + new_members, schema, pcol)
+        return self._commit_version(
+            table, v, kept + new_members, schema, pcol, expected=base_v
+        )
 
     def compact(self, table: str, max_members: int = 16) -> str | None:
         """Iceberg rewrite_data_files analog: delta appends accumulate
@@ -444,7 +464,8 @@ class TableStore:
         call — terminal frontier partitions compact without touching the
         live ones, keeping the maintenance write O(partition), and
         repeated calls converge."""
-        prev = self._manifest(table)
+        base_v = self.current_version(table)
+        prev = self._manifest(table, base_v)
         pcol = prev.get("partition_col")
         members = prev["members"]
         by_value: dict[str | None, list[dict]] = {}
@@ -469,7 +490,9 @@ class TableStore:
         if pcol is not None:
             new_members = [dict(m, value=worst) for m in new_members]
         kept = [m for m in members if m["value"] != worst]
-        return self._commit_version(table, v, kept + new_members, schema, pcol)
+        return self._commit_version(
+            table, v, kept + new_members, schema, pcol, expected=base_v
+        )
 
     # ------------------------------------------------------------ manifests
     def commit_round(self, round_id: int, extra: dict | None = None) -> None:

@@ -255,3 +255,55 @@ def test_append_schema_mismatch_raises(spark, tmp_path):
     # matching column set in a different order is fine
     st.append("t", spark.createDataFrame([("b", 2)], ["v", "k"]).select("v", "k"))
     assert st.read("t").count() == 2
+
+
+# ----------------------------------------- optimistic concurrency (Iceberg CAS)
+
+def test_stale_commit_raises_concurrent_commit_error(spark, tmp_path):
+    """A writer that snapshotted version X must fail its commit if the
+    pointer moved past X meanwhile (lost-update protection); committing
+    anyway would drop the interleaved writer's members."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from spider_spark.storage import ConcurrentCommitError, TableStore
+
+    st = TableStore(spark, str(tmp_path / "cas"))
+    st.write("t", spark.range(3).select("id"))
+    stale = st.current_version("t")
+    st.append("t", spark.range(3, 5).select("id"))  # pointer moves on
+    schema = st.read("t").schema
+    with _pytest.raises(ConcurrentCommitError, match="another writer"):
+        st._commit_version("t", "v99999", [], schema, None, expected=stale)
+    # the guarded write paths still work against the live pointer
+    st.append("t", spark.range(5, 6).select("id"))
+    st.merge_upsert("t", spark.range(5, 7).select("id"), key="id")
+    assert sorted(r["id"] for r in st.read("t").collect()) == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_interleaved_handles_conflict_via_append(spark, tmp_path):
+    """Two store handles on the same root: handle B commits while handle
+    A is mid-append (simulated by patching A's segment writer to slip in
+    B's commit) -> A's commit must raise, not silently win."""
+    import pytest as _pytest
+
+    from spider_spark.storage import ConcurrentCommitError, TableStore
+
+    root = str(tmp_path / "cas2")
+    a, b = TableStore(spark, root), TableStore(spark, root)
+    a.write("t", spark.range(2).select("id"))
+    orig = a._write_segment
+
+    def racing_write(table, version, df, partition_by):
+        members = orig(table, version, df, partition_by)
+        b.append("t", spark.range(10, 12).select("id"))  # B wins the race
+        return members
+
+    a._write_segment = racing_write
+    try:
+        with _pytest.raises(ConcurrentCommitError):
+            a.append("t", spark.range(2, 4).select("id"))
+    finally:
+        a._write_segment = orig
+    # B's rows survived; A's aborted rows are not in the table
+    assert sorted(r["id"] for r in a.read("t").collect()) == [0, 1, 10, 11]
