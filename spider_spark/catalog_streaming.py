@@ -115,6 +115,32 @@ def st4_stream_static_join(spark, sf_dir):
 
 
 @q(
+    "st5_stream_stream_join",
+    """SELECT v.event_id AS l_id, c.event_id AS r_id
+       FROM events v JOIN events c
+         ON v.user_id = c.user_id
+        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+       WHERE v.event_type = 'view' AND c.event_type = 'click'""",
+)
+def st5_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join (streaming/windows.py):
+    views pair with same-user clicks within 30 minutes.  Watermarks on
+    both sides bound the join state (left rows evict once the watermark
+    passes ts + 30min); over one availableNow batch nothing evicts
+    early, so the appended pairs equal the batch interval join, which
+    DuckDB restates.  Output is the two event-id columns only — instants
+    never surface, so the session timezone is irrelevant."""
+    from .streaming.windows import stream_stream_join_pairs
+
+    src, cp = _stage(spark, sf_dir, "st5")
+    out = stream_stream_join_pairs(spark, src, cp)
+    return out.select(
+        F.col("l_id").cast("long").alias("l_id"),
+        F.col("r_id").cast("long").alias("r_id"),
+    )
+
+
+@q(
     "st3_stream_stateful_totals",
     """SELECT event_type, COUNT(*) AS n,
               SUM(FLOOR(value * 4) / 4) AS total

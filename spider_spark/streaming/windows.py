@@ -130,6 +130,59 @@ def stream_static_join_counts(
     return spark.table(name)
 
 
+def stream_stream_join_pairs(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    left_type: str = "view",
+    right_type: str = "click",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join — the streaming twin of the
+    range-bracketing join (J9): left events pair with right events of the
+    same user that land inside [left.ts, left.ts + within].
+
+    Both sides carry a watermark so the join state is bounded: once the
+    watermark passes ts + within, buffered left rows are evicted — the
+    property that keeps a 10^10-event join from accumulating unbounded
+    state on a real cluster.  Drained with availableNow over static files
+    nothing is evicted early, so the result equals the batch interval
+    join and DuckDB can state it exactly.
+    """
+    schema = spark.read.parquet(events_path).schema
+
+    def _side(tag: str, ev_type: str) -> DataFrame:
+        s = spark.readStream.schema(schema).parquet(events_path)
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return s.filter(F.col("event_type") == ev_type).select(
+            F.col("event_id").alias(f"{tag}_id"),
+            F.col("user_id").alias(f"{tag}_user"),
+            F.col("ts").alias(f"{tag}_ts"),
+        ).withWatermark(f"{tag}_ts", watermark)
+
+    left = _side("l", left_type)
+    right = _side("r", right_type)
+    joined = left.join(
+        right,
+        F.expr(
+            f"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval {within}"
+        ),
+        "inner",
+    ).select(F.col("l_id"), F.col("r_id"))
+    name = _next_name("ssj")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{checkpoint_dir}/{name}")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stateful_running_counts(
     spark: SparkSession,
     events_path: str,

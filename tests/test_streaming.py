@@ -68,6 +68,36 @@ def test_stream_static_join_equals_batch(spark, tmp_path):
     assert g == e and len(g) > 0
 
 
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spider_spark.streaming.windows import stream_stream_join_pairs
+
+    path = _events_dir(tmp_path)
+    got = stream_stream_join_pairs(spark, path, str(tmp_path / "cp_ssj"))
+    ev = spark.read.parquet(path).withColumn("ts", F.col("ts").cast("timestamp"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("l_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("r_ts"),
+    )
+    exp = v.join(
+        c,
+        (v["u"] == c["u"])
+        & (c["r_ts"] >= v["l_ts"])
+        & (c["r_ts"] <= v["l_ts"] + F.expr("interval 30 minutes")),
+        "inner",
+    ).select("l_id", "r_id")
+    g = {(r["l_id"], r["r_id"]) for r in got.collect()}
+    e = {(r["l_id"], r["r_id"]) for r in exp.collect()}
+    assert g == e and len(g) > 0
+
+
 def test_stateful_running_counts_match_batch(spark, tmp_path):
     from pyspark.sql import functions as F
 
