@@ -413,6 +413,50 @@ def s6_ivf_planted_recall(spark, sf_dir):
     return out
 
 
+@q(
+    "s8_pq_planted_recall",
+    # planted-copy ground truth for the PQ path: codebook centroids are
+    # unit-norm and encoding is argmax-dot, so a self-query maximizes
+    # every per-subspace LUT — the planted exact duplicate attains the
+    # MAXIMUM POSSIBLE ADC score, survives the rerank cut structurally,
+    # and the exact rerank scores it cosine 1.0; SQL states recall == 1
+    """SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS dup_found
+       FROM embeddings WHERE vec_id < 20""",
+)
+def s8_pq_planted_recall(spark, sf_dir):
+    """Product-quantization ANN recall (the third ANN family next to
+    LSH s5 and IVF s6): train per-subspace codebooks on a bounded
+    sample, encode base+planted vectors ONCE into the compressed
+    (id, codes) index (the only python stage, persisted), then serve 20
+    queries through JVM-only ADC scoring + broadcast-pool exact rerank.
+    Each query's top-5 must contain its planted duplicate."""
+    from .functions.similarity import pq_encode, pq_topk, train_pq_codebooks
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    both = e.unionByName(
+        e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    books = train_pq_codebooks(both, m_sub=8, n_codes=16)
+    index = pq_encode(both, books).persist()
+    qrows = e.filter(F.col("vec_id") < 20).collect()
+    parts = []
+    for r in qrows:
+        top = pq_topk(
+            index, both, books, [float(x) for x in r["embedding"]], k=5, rerank=64
+        )
+        parts.append(
+            top.agg(
+                F.max(F.col("vec_id") == r["vec_id"] + 1_000_000).alias("dup_found")
+            ).select(F.lit(r["vec_id"]).cast("long").alias("query_id"), "dup_found")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # =====================================================================
 # multimodal plumbing
 # =====================================================================
@@ -951,6 +995,95 @@ def t8_stratified_sample(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id")
+    )
+
+
+@q(
+    "t9_bigram_vocab",
+    # top-k corpus bigrams with a deterministic (n DESC, bigram ASC)
+    # boundary tiebreak — count ties are common in synthetic text, so the
+    # k-th slot must never depend on engine sort stability
+    """WITH d AS (SELECT regexp_extract_all(lower(text), '[a-z]{2,}') AS w
+                  FROM documents),
+       bi AS (SELECT unnest(list_transform(
+                       generate_series(1, greatest(0, len(w) - 1)),
+                       i -> w[i] || ' ' || w[i+1])) AS bigram
+              FROM d)
+       SELECT bigram, COUNT(*) AS n FROM bi GROUP BY bigram
+       ORDER BY n DESC, bigram LIMIT 30""",
+)
+def t9_bigram_vocab(spark, sf_dir):
+    """Tokenizer-vocabulary induction: global top-k adjacent-word pairs —
+    the first BPE merge decision over a corpus.  Words stay an array
+    column; bigrams come from a JVM transform-with-index (no explode of
+    unigrams, no self-join), then one partial-agg'd count shuffle and a
+    TakeOrdered top-k.  At 100 TB the bigram agg is the only shuffle and
+    the top-k never materializes the full vocabulary on the driver."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{2,}"), 0).alias("w")
+    )
+    bi = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN "
+                "transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i+1])) "
+                "ELSE array() END"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(30)
+    )
+
+
+@q(
+    "t10_repetition_flag",
+    # Gopher-style repetition filter stated in pure integer math —
+    # (n_total - n_distinct) * 5 > n_total  <=>  dup fraction > 20% —
+    # so no float division can differ between engines
+    """WITH d AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z]{2,}') AS w
+                  FROM documents),
+       bi AS (SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(0, len(w) - 1)),
+                       i -> w[i] || ' ' || w[i+1])) AS bigram
+              FROM d)
+       SELECT doc_id, COUNT(*) AS n_bigrams,
+              COUNT(DISTINCT bigram) AS n_distinct,
+              (COUNT(*) - COUNT(DISTINCT bigram)) * 5 > COUNT(*) AS flagged
+       FROM bi GROUP BY doc_id""",
+)
+def t10_repetition_flag(spark, sf_dir):
+    """Within-document repetition scoring (the Gopher/C4 quality rule:
+    drop documents whose duplicate-bigram fraction exceeds a threshold).
+    One groupBy(doc_id) with count + approx-free exact countDistinct;
+    the flag is integer-only arithmetic.  Shuffles once on doc_id and
+    never leaves the JVM — at 100 TB this is a narrow scan + one
+    partial-agg'd shuffle."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{2,}"), 0).alias("w")
+    )
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN "
+                "transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i+1])) "
+                "ELSE array() END"
+            )
+        ).alias("bigram"),
+    )
+    return bi.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("bigram").alias("n_distinct"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("bigram")) * F.lit(5)
+            > F.count(F.lit(1))
+        ).alias("flagged"),
     )
 
 

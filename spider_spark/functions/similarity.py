@@ -206,6 +206,110 @@ def ivf_assign(
     return df.withColumn("ivf_cell", pandas_udf(assign, "int")(F.col(vec_col))), cents
 
 
+def train_pq_codebooks(
+    df: DataFrame,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 8,
+    sample_n: int = 10_000,
+    seed: int = 11,
+) -> np.ndarray:
+    """Product-quantization codebooks: per-subspace spherical k-means on a
+    BOUNDED driver-side sample (same cost model as train_ivf_centroids).
+    Centroids are unit-norm and assignment is argmax-dot, so encoding is
+    cosine-consistent with the ADC query metric — which is what makes a
+    self-query maximize its own lookup table (the planted-recall
+    guarantee the s8 oracle states).  Returns (m_sub, n_codes, dsub)."""
+    rows = df.select(vec_col).limit(sample_n).collect()
+    m = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    dim = m.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m_sub, n_codes, dsub), dtype=np.float64)
+    for j in range(m_sub):
+        x = m[:, j * dsub : (j + 1) * dsub]
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cents = xn[rng.choice(len(xn), size=min(n_codes, len(xn)), replace=False)].copy()
+        for _ in range(iters):
+            assign = (xn @ cents.T).argmax(axis=1)
+            for c in range(len(cents)):
+                members = xn[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 1e-12:
+                        cents[c] = v / n
+        books[j, : len(cents)] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to (id, codes) — m_sub small ints per vector, the
+    compressed ANN index (8 codes ≈ 8 bytes vs 256 bytes of float32).
+    One Arrow-batched python stage at INDEX BUILD time; persist the
+    result and the query path never runs Python again."""
+    m_sub, _, dsub = codebooks.shape
+
+    def enc(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        codes = np.empty((len(mat), m_sub), dtype=np.int32)
+        for j in range(m_sub):
+            codes[:, j] = (mat[:, j * dsub : (j + 1) * dsub] @ codebooks[j].T).argmax(
+                axis=1
+            )
+        return pd.Series(list(codes))
+
+    return df.select(
+        id_col, pandas_udf(enc, "array<int>")(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_adc_score_col(codes: Column, codebooks: np.ndarray, query_vec: list[float]) -> Column:
+    """Asymmetric-distance score, entirely JVM-side: the driver folds the
+    query into per-subspace lookup tables (LUT_j[c] = q_j · centroid_jc)
+    and the score is m_sub literal-array element_at lookups summed in
+    codegen — no Python, no join, pushable over the persisted code table."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    m_sub, _, dsub = codebooks.shape
+    total = F.lit(0.0)
+    for j in range(m_sub):
+        lut = codebooks[j] @ q[j * dsub : (j + 1) * dsub]
+        arr = F.array([F.lit(float(v)) for v in lut])
+        total = total + F.element_at(arr, codes[j] + 1)
+    return total
+
+
+def pq_topk(
+    index: DataFrame,
+    base: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN query: ADC-score the compressed (id, codes) index (JVM
+    lookups, TakeOrdered pool of ``rerank`` ids), then exact-rerank only
+    the pool by joining the tiny pool back to the raw vectors
+    (broadcast: 64 rows vs the 100 TB base — the base side is a
+    key-lookup scan, never shuffled)."""
+    scored = index.select(
+        id_col, pq_adc_score_col(F.col("codes"), codebooks, query_vec).alias("adc")
+    )
+    pool = scored.orderBy(F.desc("adc"), F.asc(id_col)).limit(rerank).select(id_col)
+    cand = base.join(F.broadcast(pool), id_col, "inner")
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -88,6 +88,85 @@ def test_lsh_index_precompute_equivalent(emb, qv):
     index.unpersist()
 
 
+def test_pq_recall(emb, qv):
+    from spider_spark.functions.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    base = emb.filter("vec_id != 0")
+    brute = {r["vec_id"] for r in cosine_topk(base, qv, k=10).collect()}
+    books = train_pq_codebooks(base, m_sub=8, n_codes=16)
+    index = pq_encode(base, books).cache()
+    got = {r["vec_id"] for r in pq_topk(index, base, books, qv, k=10, rerank=64).collect()}
+    index.unpersist()
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.4, f"PQ recall@10 too low: {recall}"
+
+
+def test_pq_planted_duplicate_is_structural_top(emb, qv):
+    """The s8 oracle's guarantee: an exact duplicate shares the query's
+    codes; with unit-norm codebooks + argmax-dot encoding the self-code
+    maximizes every per-subspace LUT, so the duplicate's ADC score is
+    the maximum possible and the exact rerank returns it at cosine 1.0."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.functions.similarity import (
+        pq_adc_score_col,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    dup = base.filter("vec_id = 0").select(
+        F.lit(1_000_000).cast("long").alias("vec_id"), "embedding"
+    )
+    both = base.unionByName(dup)
+    books = train_pq_codebooks(both, m_sub=8, n_codes=16)
+    index = pq_encode(both, books).cache()
+    # the duplicate's ADC score equals the global maximum ADC score
+    scored = index.select(
+        "vec_id", pq_adc_score_col(F.col("codes"), books, qv).alias("adc")
+    ).cache()
+    max_adc = scored.agg(F.max("adc")).first()[0]
+    dup_adc = scored.filter("vec_id = 1000000").first()["adc"]
+    assert abs(dup_adc - max_adc) < 1e-9
+    top = pq_topk(index, both, books, qv, k=5, rerank=64).collect()
+    assert 1_000_000 in {r["vec_id"] for r in top}
+    assert max(r["cos_sim"] for r in top) == 1.0
+    scored.unpersist()
+    index.unpersist()
+
+
+def test_pq_query_plan_is_jvm_only(spark, tmp_path, emb, qv):
+    """Scale property: querying a PERSISTED code table must involve no
+    python operator — ADC is literal-array lookups in codegen."""
+    import contextlib
+    import io
+
+    from spider_spark.functions.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    base = emb.filter("vec_id != 0")
+    books = train_pq_codebooks(base, m_sub=8, n_codes=16)
+    path = str(tmp_path / "pq_index")
+    pq_encode(base, books).write.parquet(path)
+    index = spark.read.parquet(path)
+    served = pq_topk(index, base, books, qv, k=10, rerank=64)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, "rerank pool must broadcast against the base"
+
+
 def test_persisted_lsh_index_pushes_sig_filter_to_scan(spark, tmp_path, emb, qv):
     """The serve-path property at scale: querying a PERSISTED index must
     push the signature predicate into the parquet scan (row-group skip),
