@@ -497,3 +497,63 @@ def s7_json_source_corrupt_routing(spark, sf_dir):
         .alias("event_type")
     )
     return routed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "c11_priority_refresh",
+    # construct -> real-operator -> re-derivation oracle (the c3 pattern):
+    # page i's in-links come from integer formulas (doc s links to
+    # p[(7s)%300], p[(11s)%300], and p[(13s)%300] when s%3=0), so DuckDB
+    # recounts the in-degree from the same formulas and restates
+    # priority := depth - min(indeg, 3) exactly
+    """WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 300),
+       links AS (
+         SELECT (7 * i) % 300 AS t FROM ids
+         UNION ALL SELECT (11 * i) % 300 FROM ids
+         UNION ALL SELECT (13 * i) % 300 FROM ids WHERE i % 3 = 0),
+       indeg AS (SELECT t, COUNT(*) AS d FROM links GROUP BY t)
+       SELECT 'http://h' || CAST(i % 10 AS VARCHAR) || '.example/p' ||
+              CAST(i AS VARCHAR) AS url,
+              CAST(i % 4 - LEAST(COALESCE(d, 0), 3) AS INT) AS priority
+       FROM ids LEFT JOIN indeg ON indeg.t = ids.i""",
+)
+def c11_priority_refresh(spark, sf_dir):
+    """Frontier priority refresh through the REAL operator
+    (frontier.link_indegree_priorities — the between-rounds scheduler
+    policy Crawler.reprioritize_from_links merges back, parity-gated in
+    tests/test_crawl_parity.py): a 300-row pending frontier plus
+    documents whose link spans follow integer formulas; the operator's
+    explode -> hash -> count -> join -> depth-min(indeg,cap) pipeline
+    must reproduce the analytically restated priorities."""
+    from .canon import url_hash_col
+    from .frontier import link_indegree_priorities
+
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        F.col("doc_id").alias("i")
+    )
+    url = F.concat(
+        F.lit("http://h"), (F.col("i") % 10).cast("string"),
+        F.lit(".example/p"), F.col("i").cast("string"),
+    )
+    pending = ids.select(
+        url.alias("url"),
+        url_hash_col(url).alias("url_hash"),
+        (F.col("i") % 4).cast("int").alias("priority"),
+        (F.col("i") % 4).cast("int").alias("depth"),
+    )
+    def link(k: int) -> str:
+        t = f"mod({k} * i, 300)"
+        return (
+            "named_struct('kind', 'link', 'text', concat('http://h', "
+            f"cast(mod({t}, 10) as string), '.example/p', "
+            f"cast({t} as string)), 'media_ref', '', 'offset', 0)"
+        )
+
+    docs = ids.select(
+        F.expr(
+            f"filter(array({link(7)}, {link(11)}, {link(13)}), "
+            "(s, j) -> j < 2 OR mod(i, 3) = 0)"
+        ).alias("spans")
+    )
+    out = link_indegree_priorities(pending, docs, boost_cap=3)
+    return out.select("url", "priority")

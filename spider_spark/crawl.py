@@ -233,6 +233,31 @@ class Crawler:
         whatever cadence robots re-fetch deserves."""
         return self.store.merge_upsert("hosts", host_rows, key="host")
 
+    # ------------------------------------------------------------ priority refresh
+    def reprioritize_from_links(self, boost_cap: int = 3) -> str | None:
+        """Between-rounds scheduler refresh: re-rank PENDING frontier rows
+        by observed link in-degree (frontier.link_indegree_priorities) —
+        the batch analog of a PageRank-guided crawl policy.  Retry rows
+        keep their backoff semantics; terminal partitions are untouched
+        (pending rows stay pending, so the partition-level merge never
+        sees a terminal key).  Mirrored by refsim.simulate(reprioritize=)
+        at the start of the next round."""
+        from .frontier import link_indegree_priorities
+
+        if not self.store.exists("documents"):
+            return None
+        pending = self.store.read("frontier").filter(F.col("state") == "pending")
+        updates = link_indegree_priorities(
+            pending, self.store.read("documents"), boost_cap
+        )
+        return self.store.merge_upsert(
+            "frontier",
+            updates,
+            key="url_hash",
+            partition_by=["state"],
+            immutable_partitions=["fetched", "dead"],
+        )
+
     # ------------------------------------------------------------ audit (T6)
     def audit_lost(self, expected: DataFrame, priority: int = 0) -> int:
         """Lost-ID reconciliation sweep (errLostAPI shixin_spider.py:401-423):

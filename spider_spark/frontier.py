@@ -97,6 +97,45 @@ def state_updates(results: DataFrame, round_id: int, max_retries: int) -> DataFr
     )
 
 
+def link_indegree_priorities(
+    pending: DataFrame, documents: DataFrame, boost_cap: int = 3
+) -> DataFrame:
+    """Popularity-driven frontier re-prioritization (the scheduler half of
+    a PageRank-guided crawl, run as a between-rounds maintenance op):
+    pending rows are re-ranked by the link in-degree observed in the
+    documents fetched so far — ``priority := depth - min(indeg, boost_cap)``,
+    so heavily-referenced pages dequeue ahead of their BFS depth while
+    the cap keeps a viral page from starving whole hosts.
+
+    Pure integer math on immutable inputs (depth never changes), so the
+    refresh is idempotent at a fixed document set and exactly mirrored by
+    refsim.simulate(reprioritize=).  Scale shape: one explode + count
+    shuffle on the 8-byte url_hash and one join against ONLY the pending
+    partition — O(links + pending), never O(all-ever-crawled frontier).
+    An incremental variant can feed storage.read_changes deltas into a
+    persisted in-degree table; the full recompute here is the simple
+    correct form.
+    """
+    from . import canon
+
+    links = documents.select(F.explode("spans").alias("s")).filter(
+        F.col("s.kind") == "link"
+    )
+    indeg = (
+        links.select(canon.url_hash_col(F.col("s.text")).alias("url_hash"))
+        .groupBy("url_hash")
+        .agg(F.count(F.lit(1)).alias("_indeg"))
+    )
+    boosted = pending.join(indeg, "url_hash", "left").withColumn(
+        "priority",
+        (
+            F.col("depth")
+            - F.least(F.coalesce(F.col("_indeg"), F.lit(0)), F.lit(boost_cap))
+        ).cast("int"),
+    )
+    return boosted.select(pending.columns)
+
+
 def new_frontier_rows(new_links: DataFrame, round_id: int) -> DataFrame:
     """Discovered links -> pending frontier rows, fetchable next round.
 

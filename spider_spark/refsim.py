@@ -72,12 +72,18 @@ def simulate(
     cfg: SimConfig,
     n_rounds: int,
     host_updates: dict[int, dict[str, dict]] | None = None,
+    reprioritize: dict[int, int] | None = None,
 ) -> SimResult:
     """``host_updates[r]`` patches the hosts config at the START of round
     r — the robots-refresh cycle (Crawler.update_hosts between
     run_rounds calls).  A refreshed disallow applies both to new-link
     enqueue AND to already-pending rows at dequeue time, mirroring the
-    engine's dequeue-time robots recheck (frontier.dequeue)."""
+    engine's dequeue-time robots recheck (frontier.dequeue).
+
+    ``reprioritize[r]`` re-ranks pending rows at the START of round r by
+    link in-degree over all documents fetched so far, with that round's
+    boost cap — priority := depth - min(indeg, cap) — mirroring
+    Crawler.reprioritize_from_links between run_rounds calls."""
     res = SimResult()
     hosts = dict(hosts)
     frontier: dict[str, Row] = {}
@@ -97,6 +103,16 @@ def simulate(
     for r in range(1, n_rounds + 1):
         if host_updates and r in host_updates:
             hosts.update(host_updates[r])
+        if reprioritize and r in reprioritize:
+            cap = reprioritize[r]
+            indeg: dict[str, int] = {}
+            for spans in res.docs.values():
+                for s in spans:
+                    if s["kind"] == "link":
+                        indeg[s["text"]] = indeg.get(s["text"], 0) + 1
+            for row in frontier.values():
+                if row.state == "pending":
+                    row.priority = row.depth - min(indeg.get(row.url, 0), cap)
 
         # ---- eligibility (politeness.eligible_hosts)
         def host_ok(h: str) -> bool:
