@@ -612,9 +612,11 @@ from . import catalog_streaming  # noqa: E402,F401  (registration side-effect)
 # three rows-only ops (s2/s3 approximate ANN top-k, m1 fake-decode
 # fallback demo) are gated by recall/featurize tests.
 GRADED_WINDOW = [
-    # projections / validation (r4 final: p9 mask out — scalar projection,
-    # p1/p11/p12 keep the family; stays oracle-gated in the tail)
-    "p1_key_convert", "p11_sanity_filter", "p12_param_validation",
+    # projections / validation (r4 final: p9 mask out — scalar projection;
+    # r4 cont.: p12 out too — p11 keeps the validation-filter family and
+    # p12's schema-enforcement shape is graded by s7's tail twin; both
+    # stay oracle-gated in the tail)
+    "p1_key_convert", "p11_sanity_filter",
     # joins (j6 dim-lookup swapped out r4: near-dup of j1's broadcast
     # join; late-r4: j4 anti-range out — the anti-join shape is graded by
     # the engine-relevant j5 anti-seen; r4 final: j7 semi out — the
@@ -647,13 +649,16 @@ GRADED_WINDOW = [
     # scalar functions (r4: f5 rlike out — near-dup of f4's regex;
     # f17 explode+top-k in — the link-extraction shape; late-r4: f11
     # url-format out — scalar concat, four f-entries keep the family)
-    "f1_json_parse", "f4_regex_extract",
-    "f17_explode_tokens", "f19_sorted_array_agg",
+    # (r4 cont.: f19 sorted-array-agg out — a third scalar string shape,
+    # f1/f4/f17 keep the family; stays oracle-gated in the tail)
+    "f1_json_parse", "f4_regex_extract", "f17_explode_tokens",
     # Structured Streaming (late-r4, previously never driver-graded):
-    # watermarked windowed agg and the applyInPandasWithState stateful
-    # operator, both availableNow-drained so batch equivalence is the
+    # watermarked windowed agg, the applyInPandasWithState stateful
+    # operator, and (r4 cont.) the watermarked stream-stream interval
+    # join — all availableNow-drained so batch equivalence is the
     # SQL-checkable expectation
     "st1_stream_window_counts", "st3_stream_stateful_totals",
+    "st5_stream_stream_join",
     # text analysis
     "t1_token_count", "t2_quality_ratio", "t3_langid_markers",
     "t4_fingerprint_stability",
@@ -664,9 +669,11 @@ GRADED_WINDOW = [
     # the corpus-hygiene op; d4 stays oracle-gated in the tail)
     "d8_decontaminate", "d5_embedding_near_dup",
     # similarity / media (r4: +s5 multi-probe ANN planted recall,
-    # +m2 real-PNG decode->binarize — both formerly rows-only families)
-    "s1_cosine_topk", "s5_ann_planted_recall", "m2_binarize_media",
-    "m4_captcha_ocr",
+    # +m2 real-PNG decode->binarize — both formerly rows-only families;
+    # r4 cont.: +s8 product-quantization recall — the compressed-index
+    # ANN path, JVM-only ADC at query time)
+    "s1_cosine_topk", "s5_ann_planted_recall", "s8_pq_planted_recall",
+    "m2_binarize_media", "m4_captcha_ocr",
     # record-parser families (late-r4: r8 credit-enforce out — fourth
     # credit-table parse, r1/r2/r7 keep the family; it stays oracle-gated
     # in the tail.  m8 in: real baseline-JPEG decode — the format the

@@ -1088,6 +1088,52 @@ def t10_repetition_flag(spark, sf_dir):
 
 
 @q(
+    "t11_rare_word_ratio",
+    # KenLM-free quality proxy in pure integer math: a word is "rare"
+    # when its corpus document frequency is under 10% of the corpus
+    # (cross-multiplied, scale-relative — no float division, no absolute
+    # constant that stops discriminating at a different SF); docs
+    # carrying ANY rare token are flagged (5% of docs at every SF)
+    """WITH terms AS (
+         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+         FROM documents),
+       dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+       nd AS (SELECT COUNT(*) AS n FROM documents)
+       SELECT t.doc_id, COUNT(*) AS n_words,
+              COUNT(CASE WHEN d.df * 10 < nd.n THEN 1 END) AS n_rare,
+              COUNT(CASE WHEN d.df * 10 < nd.n THEN 1 END) > 0 AS flagged
+       FROM terms t JOIN dfreq d USING (term) CROSS JOIN nd
+       GROUP BY t.doc_id""",
+)
+def t11_rare_word_ratio(spark, sf_dir):
+    """Corpus-statistics quality scoring: the rare-word ratio (share of
+    tokens whose corpus document frequency is below a floor) — the
+    integer-exact stand-in for LM-perplexity filtering.  Two shuffles
+    (term df agg, then doc re-agg); the vocabulary side is the small
+    side and broadcast-joins back onto the exploded terms.  The flag is
+    cross-multiplied integer math so no engine can disagree by an ulp."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{2,}"), 0)
+        ).alias("term"),
+    )
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    rare = F.sum(F.when(F.col("df") * 10 < F.lit(n_docs), 1).otherwise(0))
+    return (
+        terms.join(F.broadcast(dfreq), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            rare.alias("n_rare"),
+            (rare > F.lit(0)).alias("flagged"),
+        )
+    )
+
+
+@q(
     "d8_decontaminate",
     # construct -> detect identity oracle: the benchmark set is carved
     # from the corpus itself (doc_id % 97 == 0), so any doc sharing an
