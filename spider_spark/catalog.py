@@ -644,8 +644,11 @@ GRADED_WINDOW = [
     # crawl engine end-to-end + dedup canonicalization + video decode
     # (late-r4 swaps: the real seen-filter ladder with measured Bloom FPs,
     # connected-components closure on planted 3-chains, and real
-    # multi-frame MPNG container decode)
-    "c3_seen_filter_split", "d6_dup_components", "m3_frame_sample",
+    # multi-frame MPNG container decode; r4 cont.: c12 mid-crawl seed
+    # ingestion through the REAL bootstrap+enqueue_seeds store path —
+    # in for r5, whose operator-record parse shape r4 keeps)
+    "c3_seen_filter_split", "c12_seed_ingest", "d6_dup_components",
+    "m3_frame_sample",
     # scalar functions (r4: f5 rlike out — near-dup of f4's regex;
     # f17 explode+top-k in — the link-extraction shape; late-r4: f11
     # url-format out — scalar concat, four f-entries keep the family)
@@ -679,7 +682,7 @@ GRADED_WINDOW = [
     # in the tail.  m8 in: real baseline-JPEG decode — the format the
     # reference crawler persists — graded end-to-end)
     "r1_credit_query_parse", "r2_credit_card_parse", "r3_phone_book_parse",
-    "r4_operator_user_json", "r5_operator_note_records", "r6_phone_attribution",
+    "r4_operator_user_json", "r6_phone_attribution",
     "r7_credit_guarantee_parse", "m8_jpeg_stats",
     # headline analytical queries
     "q3_top_orders", "q5_nation_revenue",

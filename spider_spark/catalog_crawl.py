@@ -557,3 +557,77 @@ def c11_priority_refresh(spark, sf_dir):
     )
     out = link_indegree_priorities(pending, docs, boost_cap=3)
     return out.select("url", "priority")
+
+
+@q(
+    "c12_seed_ingest",
+    # ground truth: bootstrap seeds A (doc_id < 200, priority i%4) then a
+    # mid-crawl batch B (100 <= j < 350, priority j%5, plus a lower-
+    # priority duplicate row for every j%7==0 that the batch-dedup must
+    # keep).  The [100,200) overlap is anti-joined out by the seen table;
+    # only j >= 200 lands, fetchable next round (next_fetch_time = 1).
+    """WITH a AS (SELECT doc_id AS i FROM documents WHERE doc_id < 200),
+       b AS (SELECT doc_id AS j FROM documents WHERE doc_id >= 200 AND doc_id < 350)
+       SELECT 'http://h' || CAST(i % 10 AS VARCHAR) || '.example/p' ||
+              CAST(i AS VARCHAR) AS url,
+              CAST(i % 4 AS INT) AS priority,
+              'pending' AS state, CAST(0 AS BIGINT) AS next_fetch_time
+       FROM a
+       UNION ALL
+       SELECT 'http://h' || CAST(j % 10 AS VARCHAR) || '.example/p' ||
+              CAST(j AS VARCHAR) AS url,
+              CAST(j % 5 - CASE WHEN j % 7 = 0 THEN 1 ELSE 0 END AS INT) AS priority,
+              'pending' AS state, CAST(1 AS BIGINT) AS next_fetch_time
+       FROM b""",
+)
+def c12_seed_ingest(spark, sf_dir):
+    """Mid-crawl seed ingestion through the REAL engine path
+    (Crawler.bootstrap -> Crawler.enqueue_seeds on a scratch TableStore —
+    the exactly-once sink streaming/ingest.py drains micro-batches into;
+    reference analog: new start IDs required a process restart,
+    shixin_spider.py:299-312).  The ingested batch overlaps the
+    bootstrapped seen set (anti-joined out), carries intra-batch
+    duplicates (min-priority dedup), and the surviving rows must land as
+    pending frontier rows fetchable next round.  The frontier parquet
+    bytes on disk are what get graded."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .crawl import Crawler
+    from .round import CrawlConfig
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_c12_store_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = CrawlConfig(n_hosts=10, page_space=400, use_bloom=False, seen_buckets=4)
+    crawler = Crawler(spark, root, cfg)
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("i"))
+    url = F.concat(
+        F.lit("http://h"), (F.col("i") % 10).cast("string"),
+        F.lit(".example/p"), F.col("i").cast("string"),
+    )
+    seeds_a = ids.filter(F.col("i") < 200).select(
+        url.alias("url"), (F.col("i") % 4).cast("int").alias("priority")
+    )
+    hosts = spark.createDataFrame(
+        [(f"h{h}.example", 1, 5, []) for h in range(10)],
+        "host string, crawl_delay int, max_concurrent int, disallow_prefixes array<string>",
+    )
+    crawler.bootstrap(seeds_a, hosts)
+
+    overlap = ids.filter((F.col("i") >= 100) & (F.col("i") < 350))
+    batch = overlap.select(
+        url.alias("url"), (F.col("i") % 5).cast("int").alias("priority")
+    ).unionByName(
+        overlap.filter(F.col("i") % 7 == 0).select(
+            url.alias("url"), (F.col("i") % 5 - 1).cast("int").alias("priority")
+        )
+    )
+    n_new = crawler.enqueue_seeds(batch)
+    if n_new != 150:
+        raise AssertionError(f"expected 150 new seeds, enqueued {n_new}")
+    return crawler.store.read("frontier").select(
+        "url", "priority", "state", "next_fetch_time"
+    )

@@ -233,6 +233,71 @@ class Crawler:
         whatever cadence robots re-fetch deserves."""
         return self.store.merge_upsert("hosts", host_rows, key="host")
 
+    # ------------------------------------------------------------ seed ingestion
+    def enqueue_seeds(self, seeds: DataFrame) -> int:
+        """Add (url, priority) seed rows to a LIVE crawl: canonicalize,
+        dedup within the batch (min priority wins, like bootstrap),
+        robots-filter, anti-join the seen table, MERGE the remainder into
+        the frontier as pending rows fetchable next round.
+
+        The seen anti-join makes this idempotent — replaying the same
+        batch (a restarted stream micro-batch, a duplicated seed file)
+        enqueues nothing the second time — which is exactly the
+        exactly-once contract streaming ingestion (streaming/ingest.py)
+        builds on.  The current round manifest is RE-committed so the
+        ingested rows survive resume(): crash mid-enqueue rolls back to
+        the pre-batch manifest AND leaves the stream batch unmarked, so
+        the replay re-enqueues cleanly; crash after the commit but before
+        the checkpoint mark replays into the seen anti-join and enqueues
+        nothing.  Either way, exactly-once.
+
+        Semantics mirror refsim.simulate(extra_seeds=): a batch ingested
+        after committed round r behaves like links discovered in round r
+        (next_fetch_time = r+1) but with depth 0 and caller-given
+        priority, robots-filtered against the live hosts table.
+        Returns the number of genuinely new URLs."""
+        s = seeds.select(
+            canon.canonicalize_udf(F.col("url")).alias("url"),
+            F.col("priority").cast("int"),
+        )
+        s = s.groupBy("url").agg(F.min("priority").alias("priority"))
+        s = s.select(
+            "url",
+            canon.url_hash_col(F.col("url")).alias("url_hash"),
+            canon.host_col(F.col("url")).alias("host"),
+            "priority",
+        )
+        s = politeness.robots_allowed(s, self.store.read("hosts"))
+        new = s.join(
+            self.store.read("seen").select("url_hash"), "url_hash", "left_anti"
+        ).cache()
+        n_new = new.count()
+        if n_new:
+            rid = self.store.last_committed_round() or 0
+            rows = new.select(
+                "url",
+                "url_hash",
+                "host",
+                "priority",
+                F.lit(0).alias("depth"),
+                F.lit("pending").alias("state"),
+                F.lit(0).alias("retry_count"),
+                F.lit(rid + 1).cast("long").alias("next_fetch_time"),
+                F.lit(rid).cast("long").alias("discovered_round"),
+            ).select([f.name for f in FRONTIER.fields])
+            self.store.merge_upsert(
+                "frontier", rows, key="url_hash", partition_by=["state"],
+                immutable_partitions=["fetched", "dead"],
+            )
+            self.store.append(
+                "seen", self._with_seen_bucket(new.select("url_hash", "url"))
+            )
+            if self.bloom is not None:
+                self.bloom.update_from_df(self.spark, new.select("url_hash"))
+            self.store.commit_round(rid, extra={"seed_ingest": n_new})
+        new.unpersist()
+        return n_new
+
     # ------------------------------------------------------------ priority refresh
     def reprioritize_from_links(self, boost_cap: int = 3) -> str | None:
         """Between-rounds scheduler refresh: re-rank PENDING frontier rows

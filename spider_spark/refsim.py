@@ -73,6 +73,7 @@ def simulate(
     n_rounds: int,
     host_updates: dict[int, dict[str, dict]] | None = None,
     reprioritize: dict[int, int] | None = None,
+    extra_seeds: dict[int, list[tuple[str, int]]] | None = None,
 ) -> SimResult:
     """``host_updates[r]`` patches the hosts config at the START of round
     r — the robots-refresh cycle (Crawler.update_hosts between
@@ -83,7 +84,13 @@ def simulate(
     ``reprioritize[r]`` re-ranks pending rows at the START of round r by
     link in-degree over all documents fetched so far, with that round's
     boost cap — priority := depth - min(indeg, cap) — mirroring
-    Crawler.reprioritize_from_links between run_rounds calls."""
+    Crawler.reprioritize_from_links between run_rounds calls.
+
+    ``extra_seeds[r]`` injects a seed batch at the START of round r —
+    mirroring Crawler.enqueue_seeds called after round r-1 committed
+    (next_fetch_time = r): batch-dedup on min priority, skip anything
+    already seen, robots-filter against the hosts config as of round r
+    (i.e. AFTER host_updates[r]), enqueue at depth 0."""
     res = SimResult()
     hosts = dict(hosts)
     frontier: dict[str, Row] = {}
@@ -103,6 +110,18 @@ def simulate(
     for r in range(1, n_rounds + 1):
         if host_updates and r in host_updates:
             hosts.update(host_updates[r])
+        if extra_seeds and r in extra_seeds:
+            batch_best: dict[str, int] = {}
+            for url, prio in extra_seeds[r]:
+                if url not in batch_best or prio < batch_best[url]:
+                    batch_best[url] = prio
+            for url, prio in batch_best.items():
+                if url not in res.seen and _allowed(url, hosts):
+                    frontier[url] = Row(
+                        url=url, host=_host_of(url), priority=prio, depth=0,
+                        next_fetch=r,
+                    )
+                    res.seen.add(url)
         if reprioritize and r in reprioritize:
             cap = reprioritize[r]
             indeg: dict[str, int] = {}
