@@ -1194,3 +1194,40 @@ def d8_decontaminate(spark, sf_dir):
             F.lit(0).cast("long").alias("n_shared"),
         )
     )
+
+
+@q(
+    "t12_token_packing",
+    # token-budget sequence packing: seq = floor(exclusive-prefix-sum /
+    # 256) over (lang, doc_id % 8) in doc_id order — DuckDB restates the
+    # same window arithmetic, so grouping by the assignment is exact
+    """WITH t AS (SELECT lang, doc_id, doc_id % 8 AS shard,
+           length(regexp_split_to_array(trim(text), '\\s+')) AS tk
+       FROM documents),
+       c AS (SELECT lang, shard, doc_id, tk,
+           SUM(tk) OVER (PARTITION BY lang, shard ORDER BY doc_id) - tk AS prev
+       FROM t)
+       SELECT lang, CAST(shard AS INT) AS shard,
+              CAST(FLOOR(prev / 256.0) AS BIGINT) AS seq,
+              COUNT(*) AS n_docs, CAST(SUM(tk) AS BIGINT) AS seq_tokens,
+              MIN(doc_id) AS first_doc
+       FROM c GROUP BY lang, shard, seq""",
+)
+def t12_token_packing(spark, sf_dir):
+    """Token-budget sequence packing (functions/text.pack_sequences):
+    pack documents into 256-token training sequences, no doc split, at
+    most one-doc overflow per sequence.  The running sum is windowed per
+    (lang, doc_id % 8) — packing needs determinism, not global order, so
+    sharding the window keeps a 100 TB 'en' stratum from becoming one
+    skewed sort partition while staying engine-independent (arithmetic
+    shard, not a hash only one engine can compute)."""
+    from .functions.text import pack_sequences, token_count_col
+
+    packed = pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=256, n_shards=8
+    )
+    return packed.groupBy("lang", "shard", "seq").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col(F.col("text")).cast("long")).alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )

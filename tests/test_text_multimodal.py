@@ -132,3 +132,34 @@ def test_vectorized_fingerprint_matches_row_golden(monkeypatch):
     monkeypatch.setattr(T, "_FP_GROUP_BYTES", 64)
     got2 = T._rolling_fingerprint(s)
     assert got2.tolist() == want.tolist()
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc lands in exactly one sequence; a sequence STARTS under
+    budget so it can overflow by at most one document; seq ids are dense
+    from 0 within each (lang, shard)."""
+    from spider_spark.functions.text import pack_sequences, token_count_col
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    budget = 256
+    packed = pack_sequences(d, budget=budget, n_shards=4).withColumn(
+        "tk", token_count_col(F.col("text")).cast("long")
+    )
+    assert packed.count() == d.count()
+    rows = packed.select("lang", "shard", "seq", "doc_id", "tk").collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault((r["lang"], r["shard"]), []).append(r)
+    assert len(groups) > 3
+    max_tk = max(r["tk"] for r in rows)
+    for (lang, shard), g in groups.items():
+        g.sort(key=lambda r: r["doc_id"])
+        seqs = {}
+        run = 0
+        for r in g:
+            assert r["seq"] == run // budget, (lang, shard, r["doc_id"])
+            seqs[r["seq"]] = seqs.get(r["seq"], 0) + r["tk"]
+            run += r["tk"]
+        assert sorted(seqs) == list(range(len(seqs)))  # dense from 0
+        for s, tot in seqs.items():
+            assert tot < budget + max_tk, (lang, shard, s, tot)
