@@ -59,6 +59,24 @@ def entry(spark: SparkSession) -> DataFrame:
         ["host", "robots_txt"],
     )
     crawler.update_hosts(hosts_from_robots(robots_fetch, default_cap=10))
+    # continuous seed ingestion mid-crawl (streaming/ingest.py): a seed
+    # file lands in a watched directory and the checkpointed availableNow
+    # stream drains it into the live frontier via the idempotent
+    # enqueue_seeds MERGE — the batch is fetchable in round 3
+    import json
+    import os
+
+    from spider_spark.streaming.ingest import ingest_seed_stream
+
+    seeds_dir = os.path.join(workdir, "seeds_in")
+    os.makedirs(seeds_dir, exist_ok=True)
+    with open(os.path.join(seeds_dir, "batch1.json"), "w") as f:
+        for i in range(30):
+            url = f"http://h{(7 * i + 5) % n_hosts}.example/p{(17 * i + 3) % page_space}"
+            f.write(json.dumps({"url": url, "priority": i % 3}) + "\n")
+    ingest_seed_stream(
+        spark, crawler, seeds_dir, os.path.join(workdir, "ingest_ckpt")
+    )
     crawler.run_rounds(1)
     frontier = crawler.frontier_df()
     return (

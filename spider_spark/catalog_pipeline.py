@@ -1231,3 +1231,54 @@ def t12_token_packing(spark, sf_dir):
         F.sum(token_count_col(F.col("text")).cast("long")).alias("seq_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@q(
+    "t13_packed_sequence_text",
+    # the materialized training row: docs of a sequence joined in doc_id
+    # order — DuckDB's ORDER BY inside string_agg restates the window-
+    # ordered collect exactly; graded on md5 so cells stay scalar/small
+    """WITH t AS (SELECT lang, doc_id, doc_id % 8 AS shard, text,
+           length(regexp_split_to_array(trim(text), '\\s+')) AS tk
+       FROM documents),
+       c AS (SELECT lang, shard, doc_id, text,
+           CAST(FLOOR((SUM(tk) OVER (PARTITION BY lang, shard ORDER BY doc_id)
+                       - tk) / 256.0) AS BIGINT) AS seq
+       FROM t)
+       SELECT lang, CAST(shard AS INT) AS shard, seq,
+              md5(string_agg(text, chr(10) ORDER BY doc_id)) AS packed_md5,
+              CAST(length(string_agg(text, chr(10) ORDER BY doc_id)) AS BIGINT)
+                AS packed_len
+       FROM c GROUP BY lang, shard, seq""",
+)
+def t13_packed_sequence_text(spark, sf_dir):
+    """Packed-sequence materialization: the training rows t12's
+    assignment implies — each sequence's documents joined in doc_id
+    order with a newline separator.  Ordered intra-group concat is done
+    with a window-framed collect_list (deterministic under any
+    partitioning, unlike a bare groupBy collect_list), then one
+    row_number()==1 slice per sequence; at 100 TB both windows share the
+    single (lang, shard) shuffle with the packing itself."""
+    from pyspark.sql import Window
+
+    from .functions.text import pack_sequences
+
+    packed = pack_sequences(_t(spark, sf_dir, "documents"), budget=256, n_shards=8)
+    wseq = (
+        Window.partitionBy("lang", "shard", "seq")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wpick = Window.partitionBy("lang", "shard", "seq").orderBy("doc_id")
+    return (
+        packed.withColumn(
+            "packed", F.concat_ws("\n", F.collect_list("text").over(wseq))
+        )
+        .withColumn("_rn", F.row_number().over(wpick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "lang", "shard", "seq",
+            F.md5(F.col("packed").cast("binary")).alias("packed_md5"),
+            F.length("packed").cast("long").alias("packed_len"),
+        )
+    )

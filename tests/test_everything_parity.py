@@ -60,6 +60,23 @@ def everything_crawl(spark, tmp_path_factory):
         default_cap=10,
     )
     crawler.update_hosts(refreshed)
+    # mid-crawl seed batch through the REAL streaming path (file source +
+    # checkpoint + foreachBatch enqueue_seeds) — composed with bloom-dist,
+    # bucketed seen, and the robots refresh that just landed
+    import json
+
+    from spider_spark.streaming.ingest import ingest_seed_stream
+
+    base = tmp_path_factory.mktemp("ingest_all")
+    (base / "in").mkdir()
+    extra = [
+        (f"http://h{(3 * i + 1) % N_HOSTS}.example/p{(23 * i + 9) % PAGE_SPACE}", i % 2)
+        for i in range(20)
+    ]
+    with open(base / "in" / "b1.json", "w") as f:
+        for url, prio in extra:
+            f.write(json.dumps({"url": url, "priority": prio}) + "\n")
+    ingest_seed_stream(spark, crawler, str(base / "in"), str(base / "ckpt"))
     results += crawler.run_rounds(2, record_order=True)
 
     sim = simulate(
@@ -70,19 +87,20 @@ def everything_crawl(spark, tmp_path_factory):
         ),
         4,
         host_updates={3: hosts_df_to_dict(refreshed)},
+        extra_seeds={3: extra},
     )
-    return crawler, results, sim
+    return crawler, results, sim, extra
 
 
 def test_everything_on_order_parity(everything_crawl):
-    _, results, sim = everything_crawl
+    _, results, sim, _ = everything_crawl
     assert len(results) == len(sim.crawl_order) == 4
     for res, sim_batch in zip(results, sim.crawl_order):
         assert res.batch_urls == sim_batch, f"round {res.round_id} order mismatch"
 
 
 def test_everything_on_seen_and_state_parity(everything_crawl):
-    crawler, _, sim = everything_crawl
+    crawler, _, sim, _ = everything_crawl
     assert crawler.seen_urls() == sim.seen
     eng = {
         r["url"]: (r["state"], r["retry_count"])
@@ -96,7 +114,7 @@ def test_everything_on_fixture_not_degenerate(everything_crawl):
     """The combined config must actually exercise each feature: the
     global cap binds at least one round, the media table is non-empty,
     and the hot host dominates round 1."""
-    crawler, results, _ = everything_crawl
+    crawler, results, _, extra = everything_crawl
     assert any(r.dequeued == 80 for r in results), "global_cap never bound"
     assert crawler.store.read("media").count() > 0
     # skew lands in the BACKLOG (h0's max_concurrent correctly caps each
@@ -106,3 +124,9 @@ def test_everything_on_fixture_not_degenerate(everything_crawl):
 
     h0_rows = crawler.frontier_df().filter(F.col("host") == "h0.example").count()
     assert h0_rows >= 25, f"hot-host skew degenerate: {h0_rows} frontier rows"
+    # the ingested batch must be non-degenerate too: present in the
+    # frontier, and at least one injected URL actually fetched in r3/r4
+    front = {r["url"]: r["state"] for r in crawler.frontier_df().collect()}
+    injected = [u for u, _ in extra if u in front]
+    assert len(injected) >= 10, f"seed ingest degenerate: {len(injected)}"
+    assert any(front[u] == "fetched" for u in injected), "no injected URL fetched"
