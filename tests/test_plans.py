@@ -232,3 +232,16 @@ def test_documents_round_partition_pruning(spark, tmp_path):
         "other rounds' members must be pruned from the plan"
     )
     assert scan.count() > 0
+
+
+def test_packing_plans_are_single_shuffle(spark):
+    """t12/t13: the packing window, the sequence-level window, and the
+    final aggregate must all ride ONE (lang, shard) hash exchange —
+    Catalyst satisfies the (lang, shard, seq) clustering requirements
+    from the coarser partitioning, so a 100 TB pack is one shuffle."""
+    from spider_spark.catalog import QUERIES
+
+    for name in ("t12_token_packing", "t13_packed_sequence_text"):
+        plan = _plan(QUERIES[name](spark, "/root/testdata/sf0.001"), mode="simple")
+        n = plan.count("Exchange hashpartitioning")
+        assert n == 1, f"{name}: expected 1 exchange, got {n}\n{plan}"
