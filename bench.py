@@ -396,6 +396,7 @@ HEADLINE_QUERIES = [
     "c1_crawl_frontier_dequeue",
     "j8_asof_last_click",
     "j9_interval_count",
+    "t12_token_packing",
 ]
 
 
