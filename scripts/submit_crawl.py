@@ -26,6 +26,12 @@ def main() -> int:
     p.add_argument("--seeds", type=int, default=1000)
     p.add_argument("--hosts", type=int, default=50)
     p.add_argument("--pages", type=int, default=5000)
+    p.add_argument(
+        "--seed-dir",
+        help="watched directory of JSONL seed files ({url, priority}); "
+        "drained exactly-once into the frontier before the rounds run "
+        "(checkpoint lives in the workdir, so re-submits skip old files)",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -46,6 +52,13 @@ def main() -> int:
             synth.seed_list(spark, args.seeds, args.hosts, args.pages),
             synth.hosts_config(spark, args.hosts),
         )
+    if args.seed_dir:
+        from spider_spark.streaming.ingest import ingest_seed_stream
+
+        n = ingest_seed_stream(
+            spark, crawler, args.seed_dir, f"{args.workdir}/_ingest_ckpt"
+        )
+        print(f"ingested {n} new seed URLs from {args.seed_dir}", file=sys.stderr)
     results = crawler.run_rounds(args.rounds)
     for r in results:
         print(
