@@ -631,3 +631,51 @@ def c12_seed_ingest(spark, sf_dir):
     return crawler.store.read("frontier").select(
         "url", "priority", "state", "next_fetch_time"
     )
+
+
+@q(
+    "c13_mor_delete_scan",
+    # ground truth for the merge-on-read delete ladder: seg A (i%3=0,'a'),
+    # append seg B (i%3=1,'b'), equality-delete keys i%5=0 (suppresses
+    # only the two OLDER segments), then append seg C = i%3=2,'c' plus
+    # re-inserts of the deleted i%15=0 keys as 'r' — newer than the
+    # delete, so visible.  DuckDB restates the surviving rows directly.
+    """WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 300)
+       SELECT i AS doc_id, 'a' AS gen FROM ids WHERE i % 3 = 0 AND i % 5 <> 0
+       UNION ALL SELECT i, 'b' FROM ids WHERE i % 3 = 1 AND i % 5 <> 0
+       UNION ALL SELECT i, 'c' FROM ids WHERE i % 3 = 2
+       UNION ALL SELECT i, 'r' FROM ids WHERE i % 15 = 0""",
+)
+def c13_mor_delete_scan(spark, sf_dir):
+    """Iceberg-v2 equality deletes end-to-end through the REAL TableStore
+    (storage.delete_rows): the delete commits ONLY a key segment —
+    no data member is read or rewritten (O(keys) at any table size, the
+    GDPR-takedown / dedup-purge shape) — and readers apply it by the
+    sequence rule, so keys re-inserted by a later append stay visible.
+    The parquet bytes on disk are what get graded."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .storage import TableStore
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_c13_store_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, root)
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    store.write("docs", ids.filter(F.col("doc_id") % 3 == 0).withColumn("gen", F.lit("a")))
+    store.append("docs", ids.filter(F.col("doc_id") % 3 == 1).withColumn("gen", F.lit("b")))
+    n_members_before = len(store._manifest("docs")["members"])
+    store.delete_rows("docs", ids.filter(F.col("doc_id") % 5 == 0), "doc_id")
+    if len(store._manifest("docs")["members"]) != n_members_before:
+        raise AssertionError("delete must not touch data members (merge-on-read)")
+    store.append(
+        "docs",
+        ids.filter(F.col("doc_id") % 3 == 2).withColumn("gen", F.lit("c")).unionByName(
+            ids.filter(F.col("doc_id") % 15 == 0).withColumn("gen", F.lit("r"))
+        ),
+    )
+    return store.read("docs").select("doc_id", "gen")

@@ -144,6 +144,7 @@ class TableStore:
         schema: StructType,
         partition_col: str | None,
         expected: str | None = None,
+        deletes: list[dict] | None = None,
     ) -> str:
         if expected is not None and self.current_version(table) != expected:
             raise ConcurrentCommitError(
@@ -159,10 +160,18 @@ class TableStore:
                 "schema": schema.json(),
                 "columns": [f.name for f in schema.fields],
                 "partition_col": partition_col,
+                "deletes": deletes or [],
             },
         )
         self._set_pointer(table, version)
         return version
+
+    @staticmethod
+    def _member_seq(member: dict) -> int:
+        """A member's write sequence = the version whose segment wrote it
+        (Iceberg's data-sequence-number analog), recoverable from the
+        immutable segment path — old manifests need no migration."""
+        return int(member["path"].split("/", 1)[0][3:])
 
     # ------------------------------------------------------------ read
     def read(self, table: str) -> DataFrame:
@@ -213,12 +222,19 @@ class TableStore:
             target_manifest = self._manifest(
                 table, self._version_at_round(table, until_round)
             )
-        base_paths = {m["path"] for m in self._manifest(table, base_version)["members"]}
+        base_manifest = self._manifest(table, base_version)
+        base_paths = {m["path"] for m in base_manifest["members"]}
         target_paths = {m["path"] for m in target_manifest["members"]}
         if not base_paths <= target_paths:
             raise ValueError(
                 f"history of '{table}' was rewritten (compaction) between the "
                 f"snapshots; incremental read is unsound — use read_at + anti-join"
+            )
+        if (base_manifest.get("deletes") or []) != (target_manifest.get("deletes") or []):
+            raise ValueError(
+                f"history of '{table}' includes row-level deletes between the "
+                f"snapshots; the appended-rows scan would be unsound — use "
+                f"read_at + anti-join"
             )
         delta = dict(
             target_manifest,
@@ -267,23 +283,50 @@ class TableStore:
         members = manifest["members"]
         if skip_values is not None:
             members = [m for m in members if m["value"] not in skip_values]
+        deletes = manifest.get("deletes") or []
         tdir = self._tdir(table)
+
+        def applicable(m: dict) -> tuple[int, ...]:
+            """Equality deletes apply only to members OLDER than the
+            delete (Iceberg v2 sequence rule): a key re-inserted after
+            its delete lands in a newer segment and stays visible."""
+            s = self._member_seq(m)
+            return tuple(i for i, d in enumerate(deletes) if s < d["applies_below"])
+
+        def anti(df: DataFrame, appl: tuple[int, ...]) -> DataFrame:
+            if not appl:
+                return df
+            paths = [os.path.join(tdir, deletes[i]["path"]) for i in appl]
+            key = deletes[appl[0]]["key"]
+            kd = self.spark.read.parquet(*paths).select(key).distinct()
+            return df.join(kd, on=key, how="left_anti")
+
         parts: list[DataFrame] = []
-        plain = [os.path.join(tdir, m["path"]) for m in members if m["value"] is None and pcol is None]
-        if plain:
-            parts.append(self.spark.read.schema(schema).parquet(*plain).select(cols))
-        if pcol is not None:
+        if pcol is None:
+            by_appl: dict[tuple[int, ...], list[str]] = {}
+            for m in members:
+                by_appl.setdefault(applicable(m), []).append(os.path.join(tdir, m["path"]))
+            for appl, paths in by_appl.items():
+                parts.append(
+                    anti(self.spark.read.schema(schema).parquet(*paths).select(cols), appl)
+                )
+        else:
             ptype = schema[pcol].dataType
             data_schema = StructType([f for f in schema.fields if f.name != pcol])
-            by_value: dict[str | None, list[str]] = {}
+            by_group: dict[tuple[str | None, tuple[int, ...]], list[str]] = {}
             for m in members:
-                by_value.setdefault(m["value"], []).append(os.path.join(tdir, m["path"]))
-            for value, paths in by_value.items():
+                by_group.setdefault((m["value"], applicable(m)), []).append(
+                    os.path.join(tdir, m["path"])
+                )
+            for (value, appl), paths in by_group.items():
                 parts.append(
-                    self.spark.read.schema(data_schema)
-                    .parquet(*paths)
-                    .withColumn(pcol, F.lit(value).cast(ptype))
-                    .select(cols)
+                    anti(
+                        self.spark.read.schema(data_schema)
+                        .parquet(*paths)
+                        .withColumn(pcol, F.lit(value).cast(ptype))
+                        .select(cols),
+                        appl,
+                    )
                 )
         if not parts:
             return self.spark.createDataFrame([], schema).select(cols)
@@ -392,7 +435,54 @@ class TableStore:
                 + [StructField(f.name, f.dataType, nullable=True) for f in added]
             )
         return self._commit_version(
-            table, v, prev["members"] + new_members, schema, pcol, expected=base
+            table, v, prev["members"] + new_members, schema, pcol, expected=base,
+            deletes=prev.get("deletes"),
+        )
+
+    def delete_rows(self, table: str, keys: DataFrame, key: str) -> str:
+        """Iceberg v2 equality-delete analog (merge-on-read): commit the
+        key set as a DELETE segment — NO data member is read or
+        rewritten, O(keys) I/O regardless of table size.  Readers
+        anti-join each delete against only the members OLDER than it
+        (sequence rule), so a key re-inserted by a later append/merge is
+        visible again; time-travel reads before the delete still see the
+        rows.  ``compact`` materializes applicable deletes into the
+        rewritten slice and prunes entries nothing references anymore —
+        the read-amplification stays bounded by the delete generations
+        outstanding since the last compaction.
+
+        Complements the copy-on-write path: ``merge_upsert(delete_keys=)``
+        pays a live-slice rewrite per call (right for the frontier's
+        small hot slice); ``delete_rows`` is the GDPR-takedown /
+        dedup-purge shape — tiny key sets against a 100 TB table where
+        any rewrite would dominate."""
+        base_v = self.current_version(table)
+        prev = self._manifest(table, base_v)
+        if key not in prev["columns"]:
+            raise ValueError(f"delete key '{key}' not a column of '{table}'")
+        want = StructType.fromJson(json.loads(prev["schema"]))[key].dataType
+        got = keys.schema[key].dataType
+        if got.simpleString() != want.simpleString():
+            raise ValueError(
+                f"delete key '{key}' type {got.simpleString()} != table's "
+                f"{want.simpleString()} — an implicit cast could silently "
+                f"miss (or over-match) keys"
+            )
+        for d in prev.get("deletes") or []:
+            if d["key"] != key:
+                raise ValueError(
+                    f"table '{table}' already has deletes on '{d['key']}'; "
+                    "one equality-delete key per table"
+                )
+        v = self._next_version(table)
+        members = self._write_segment(table, v, keys.select(key).distinct(), None)
+        deletes = (prev.get("deletes") or []) + [
+            {"path": members[0]["path"], "key": key, "applies_below": int(v[1:])}
+        ]
+        schema = StructType.fromJson(json.loads(prev["schema"]))
+        return self._commit_version(
+            table, v, prev["members"], schema, prev.get("partition_col"),
+            expected=base_v, deletes=deletes,
         )
 
     def merge_upsert(
@@ -449,8 +539,12 @@ class TableStore:
         new_members = self._write_segment(table, v, merged, [pcol] if pcol else None)
         kept = [m for m in prev["members"] if m["value"] in immutable]
         schema = StructType.fromJson(json.loads(prev["schema"]))
+        # outstanding equality deletes were applied to the rewritten live
+        # slice by the read above (and the new segment's sequence exempts
+        # it); they are carried ONLY for the kept-by-reference members
         return self._commit_version(
-            table, v, kept + new_members, schema, pcol, expected=base_v
+            table, v, kept + new_members, schema, pcol, expected=base_v,
+            deletes=prev.get("deletes"),
         )
 
     def compact(self, table: str, max_members: int = 16) -> str | None:
@@ -490,8 +584,16 @@ class TableStore:
         if pcol is not None:
             new_members = [dict(m, value=worst) for m in new_members]
         kept = [m for m in members if m["value"] != worst]
+        # the rewrite materialized every delete applicable to the victim
+        # slice; prune delete entries no remaining member is older than
+        deletes = [
+            d
+            for d in (prev.get("deletes") or [])
+            if any(self._member_seq(m) < d["applies_below"] for m in kept + new_members)
+        ]
         return self._commit_version(
-            table, v, kept + new_members, schema, pcol, expected=base_v
+            table, v, kept + new_members, schema, pcol, expected=base_v,
+            deletes=deletes,
         )
 
     # ------------------------------------------------------------ manifests
@@ -563,8 +665,11 @@ class TableStore:
             referenced: set[str] = set()
             for v in kept:
                 try:
-                    for m in self._manifest(t, v)["members"]:
+                    man = self._manifest(t, v)
+                    for m in man["members"]:
                         referenced.add(m["path"])
+                    for d in man.get("deletes") or []:
+                        referenced.add(d["path"])
                 except FileNotFoundError:
                     pass
             for v in versions:
