@@ -679,3 +679,51 @@ def c13_mor_delete_scan(spark, sf_dir):
         ),
     )
     return store.read("docs").select("doc_id", "gen")
+
+
+@q(
+    "c14_stats_skip_scan",
+    # ground truth: three range-clustered appends ([0,100), [100,200),
+    # [200,300) tagged s0/s1/s2) then the range scan [110, 250] — only
+    # the s1/s2 members intersect (the entry RAISES if the s0 member was
+    # not skipped at the manifest level), and the exact filter restates
+    """SELECT doc_id, 's1' AS gen FROM documents
+       WHERE doc_id >= 110 AND doc_id < 200
+       UNION ALL
+       SELECT doc_id, 's2' FROM documents
+       WHERE doc_id >= 200 AND doc_id <= 250""",
+)
+def c14_stats_skip_scan(spark, sf_dir):
+    """Column-stats file skipping end-to-end through the REAL TableStore
+    (storage.read_range): each range-clustered append records its
+    member's [min, max] doc_id in the manifest (Iceberg column-stats
+    analog) and the range scan opens only intersecting members — at
+    100 TB a narrow id/time range touches O(1) members.  The parquet
+    bytes on disk are what get graded."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .storage import TableStore
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_c14_store_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, root)
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    for j in range(3):
+        store.append(
+            "docs",
+            ids.filter(
+                (F.col("doc_id") >= 100 * j) & (F.col("doc_id") < 100 * (j + 1))
+            ).withColumn("gen", F.lit(f"s{j}")),
+            stats_col="doc_id",
+        )
+    kept = store.range_members("docs", "doc_id", 110, 250)
+    if len(kept) != 2:
+        raise AssertionError(
+            f"stats skipping did not engage: {len(kept)} members kept, expected 2"
+        )
+    return store.read_range("docs", "doc_id", 110, 250).select("doc_id", "gen")

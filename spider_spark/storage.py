@@ -112,10 +112,22 @@ class TableStore:
 
     # ------------------------------------------------------------ segments
     def _write_segment(
-        self, table: str, version: str, df: DataFrame, partition_by: list[str] | None
+        self,
+        table: str,
+        version: str,
+        df: DataFrame,
+        partition_by: list[str] | None,
+        stats_col: str | None = None,
     ) -> list[dict]:
         """Write df as the immutable segment for `version`; return its
-        member records (one per partition subdir when partitioned)."""
+        member records (one per partition subdir when partitioned).
+
+        ``stats_col`` attaches the member's [min, max] of that column to
+        the manifest (Iceberg's column-stats / file-skipping analog) —
+        ``read_range`` then prunes members whose interval cannot match
+        without opening them.  Stats are tight exactly when the caller
+        writes range-clustered segments (sorted appends), which is the
+        point: sort order is what makes skipping work in Iceberg too."""
         if partition_by is not None and len(partition_by) != 1:
             raise ValueError("only single-column partition specs are supported")
         seg = f"seg{version[1:]}"
@@ -124,16 +136,40 @@ class TableStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(seg_path)
+        stats: dict = {}
+        if stats_col is not None:
+            c = F.col(stats_col)
+            if partition_by:
+                for r in df.groupBy(partition_by[0]).agg(
+                    F.min(c).alias("lo"), F.max(c).alias("hi")
+                ).collect():
+                    stats[str(r[partition_by[0]])] = [r["lo"], r["hi"]]
+            else:
+                r = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+                stats[None] = [r["lo"], r["hi"]]
+        def _jsonable(pair) -> bool:
+            # manifests are JSON; stats only attach for types that
+            # round-trip (numbers, strings) — others simply don't skip
+            return pair is not None and all(
+                isinstance(v, (int, float, str)) for v in pair
+            )
+
         if not partition_by:
-            return [{"path": seg, "value": None}]
+            m = {"path": seg, "value": None}
+            if stats_col is not None and _jsonable(stats.get(None)):
+                m["stats"] = {stats_col: stats[None]}
+            return [m]
         col = partition_by[0]
         members = []
         for d in sorted(os.listdir(seg_path)):
             if d.startswith(f"{col}="):
                 raw = unquote(d[len(col) + 1 :])
-                members.append(
-                    {"path": f"{seg}/{d}", "value": None if raw == _HIVE_NULL else raw}
-                )
+                value = None if raw == _HIVE_NULL else raw
+                m = {"path": f"{seg}/{d}", "value": value}
+                s = stats.get(str(value)) if value is not None else None
+                if stats_col is not None and _jsonable(s):
+                    m["stats"] = {stats_col: s}
+                members.append(m)
         return members
 
     def _commit_version(
@@ -255,6 +291,31 @@ class TableStore:
         m = self._manifest(table)
         pruned = dict(m, members=[x for x in m["members"] if str(x["value"]) in keep])
         return self._read_members(table, pruned)
+
+    def range_members(self, table: str, col: str, lo, hi) -> list[dict]:
+        """Members that COULD hold rows with ``lo <= col <= hi``: a member
+        with [min, max] stats disjoint from the range is skipped at the
+        manifest level; members without stats are conservatively kept."""
+        out = []
+        for m in self._manifest(table)["members"]:
+            s = (m.get("stats") or {}).get(col)
+            if s is not None and (s[1] < lo or s[0] > hi):
+                continue
+            out.append(m)
+        return out
+
+    def read_range(self, table: str, col: str, lo, hi) -> DataFrame:
+        """Iceberg file-skipping analog: a range scan that opens ONLY the
+        members whose [min, max] column stats intersect [lo, hi] (exact
+        filter still applied — stats only prune, never answer).  With
+        range-clustered appends (a time- or id-ordered ingest, the normal
+        shape of a crawl's documents) a narrow range touches O(1)
+        members of a 100 TB table."""
+        m = self._manifest(table)
+        pruned = dict(m, members=self.range_members(table, col, lo, hi))
+        return self._read_members(table, pruned).filter(
+            (F.col(col) >= lo) & (F.col(col) <= hi)
+        )
 
     def partition_files(self, table: str, values) -> list[str]:
         """Member paths a read_partitions(table, values) would open —
@@ -384,7 +445,13 @@ class TableStore:
             )
 
     # ------------------------------------------------------------ write paths
-    def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        stats_col: str | None = None,
+    ) -> str:
         """Full-snapshot write: one new segment is the whole table.
 
         ``partition_by`` is the Iceberg partition-spec analog: the frontier
@@ -394,7 +461,7 @@ class TableStore:
         between scanning the whole table and scanning the live slice)."""
         os.makedirs(self._tdir(table), exist_ok=True)
         v = self._next_version(table)
-        members = self._write_segment(table, v, df, partition_by)
+        members = self._write_segment(table, v, df, partition_by, stats_col=stats_col)
         pcol = partition_by[0] if partition_by else None
         return self._commit_version(table, v, members, df.schema, pcol)
 
@@ -404,6 +471,7 @@ class TableStore:
         df: DataFrame,
         partition_by: list[str] | None = None,
         allow_evolution: bool = False,
+        stats_col: str | None = None,
     ) -> str:
         """Iceberg-append analog: write ONLY df as a new segment and link
         it into the next manifest — O(delta) I/O per append, the existing
@@ -418,14 +486,16 @@ class TableStore:
         each snapshot with its own snapshot-time schema."""
         base = self.current_version(table)
         if base is None:
-            return self.write(table, df, partition_by)
+            return self.write(table, df, partition_by, stats_col=stats_col)
         prev = self._manifest(table, base)
         pcol = prev.get("partition_col")
         if partition_by and partition_by[0] != pcol:
             raise ValueError(f"append partition spec {partition_by} != table spec {pcol}")
         self._check_schema(table, df, prev, "append", allow_evolution=allow_evolution)
         v = self._next_version(table)
-        new_members = self._write_segment(table, v, df, [pcol] if pcol else None)
+        new_members = self._write_segment(
+            table, v, df, [pcol] if pcol else None, stats_col=stats_col
+        )
         schema = StructType.fromJson(json.loads(prev["schema"]))
         committed_names = {f.name for f in schema.fields}
         added = [f for f in df.schema.fields if f.name not in committed_names]

@@ -294,8 +294,8 @@ def test_interleaved_handles_conflict_via_append(spark, tmp_path):
     a.write("t", spark.range(2).select("id"))
     orig = a._write_segment
 
-    def racing_write(table, version, df, partition_by):
-        members = orig(table, version, df, partition_by)
+    def racing_write(table, version, df, partition_by, **kw):
+        members = orig(table, version, df, partition_by, **kw)
         b.append("t", spark.range(10, 12).select("id"))  # B wins the race
         return members
 
