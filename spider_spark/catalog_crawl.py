@@ -727,3 +727,45 @@ def c14_stats_skip_scan(spark, sf_dir):
             f"stats skipping did not engage: {len(kept)} members kept, expected 2"
         )
     return store.read_range("docs", "doc_id", 110, 250).select("doc_id", "gen")
+
+
+@q(
+    "c15_wap_publish",
+    # ground truth: evens are published, odds are STAGED — the pre-publish
+    # probe must see only evens (the entry RAISES otherwise), the
+    # post-publish probe sees everything; publish is a pointer flip
+    """SELECT 'pre' AS probe, doc_id FROM documents
+       WHERE doc_id < 300 AND doc_id % 2 = 0
+       UNION ALL
+       SELECT 'post', doc_id FROM documents WHERE doc_id < 300""",
+)
+def c15_wap_publish(spark, sf_dir):
+    """Write-audit-publish end-to-end through the REAL TableStore
+    (storage.stage_append/publish — Iceberg WAP analog): the staged
+    append is durable and auditable via time-travel but invisible until
+    the atomic publish, the quality gate a training-data ingest needs.
+    The parquet bytes on disk are what get graded."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .storage import TableStore
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_c15_store_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, root)
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    store.write("docs", ids.filter(F.col("doc_id") % 2 == 0))
+    v = store.stage_append("docs", ids.filter(F.col("doc_id") % 2 == 1))
+    pre = store.read("docs").select(F.lit("pre").alias("probe"), "doc_id")
+    # audit: the staged snapshot holds everything, the table only evens
+    n_staged = store.read_at("docs", version=v).count()
+    n_visible = store.read("docs").count()
+    if not (n_staged == 300 and n_visible == 150):
+        raise AssertionError(f"stage leaked: staged={n_staged} visible={n_visible}")
+    store.publish("docs", v)
+    post = store.read("docs").select(F.lit("post").alias("probe"), "doc_id")
+    return pre.unionByName(post)

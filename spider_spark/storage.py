@@ -106,9 +106,21 @@ class TableStore:
         os.replace(tmp, self._mpath(table, version))
 
     def _next_version(self, table: str) -> str:
+        """Next unused version number: max over ALL manifests on disk,
+        not just the pointer — a STAGED snapshot (stage_append) holds a
+        version without moving the pointer, and a later writer must not
+        reuse (and clobber) its segment."""
+        n = -1
         cur = self.current_version(table)
-        n = int(cur[1:]) + 1 if cur else 0
-        return f"v{n:05d}"
+        if cur:
+            n = int(cur[1:])
+        try:
+            for f in os.listdir(self._mdir(table)):
+                if f.endswith(".json"):
+                    n = max(n, int(f[1:-5]))
+        except FileNotFoundError:
+            pass
+        return f"v{n + 1:05d}"
 
     # ------------------------------------------------------------ segments
     def _write_segment(
@@ -508,6 +520,69 @@ class TableStore:
             table, v, prev["members"] + new_members, schema, pcol, expected=base,
             deletes=prev.get("deletes"),
         )
+
+    def stage_append(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        stats_col: str | None = None,
+    ) -> str:
+        """Write-audit-publish, step 1 (Iceberg WAP analog): append df as
+        a STAGED snapshot — the segment and manifest are durable, but the
+        table pointer does not move, so no reader sees the rows.  Audit
+        the staged snapshot with ``read_at(version=...)``; then
+        ``publish`` flips the pointer atomically, or simply abandon it
+        (expire_snapshots reclaims unpublished segments).  This is the
+        quality gate a training-data ingest wants: a round's documents
+        become visible only after validation, with zero rewrite on
+        publish."""
+        base = self.current_version(table)
+        if base is None:
+            raise FileNotFoundError(
+                f"stage_append needs an existing table '{table}' (write() first)"
+            )
+        prev = self._manifest(table, base)
+        pcol = prev.get("partition_col")
+        if partition_by and partition_by[0] != pcol:
+            raise ValueError(f"append partition spec {partition_by} != table spec {pcol}")
+        self._check_schema(table, df, prev, "stage_append")
+        v = self._next_version(table)
+        new_members = self._write_segment(
+            table, v, df, [pcol] if pcol else None, stats_col=stats_col
+        )
+        schema = StructType.fromJson(json.loads(prev["schema"]))
+        self._write_manifest(
+            table,
+            v,
+            {
+                "members": prev["members"] + new_members,
+                "schema": schema.json(),
+                "columns": [f.name for f in schema.fields],
+                "partition_col": pcol,
+                "deletes": prev.get("deletes") or [],
+                "parent": base,
+            },
+        )
+        return v
+
+    def publish(self, table: str, version: str) -> str:
+        """Write-audit-publish, step 2: atomically expose a staged
+        snapshot.  CAS on the staged snapshot's parent — if any writer
+        committed since the stage, publishing would silently drop their
+        members, so it raises instead (re-stage on top and re-audit)."""
+        man = self._manifest(table, version)
+        parent = man.get("parent")
+        if parent is None:
+            raise ValueError(f"version {version} of '{table}' was not staged")
+        cur = self.current_version(table)
+        if cur != parent:
+            raise ConcurrentCommitError(
+                f"table '{table}': staged {version} has parent {parent} but the "
+                f"table is at {cur} — re-stage on the current snapshot"
+            )
+        self._set_pointer(table, version)
+        return version
 
     def delete_rows(self, table: str, keys: DataFrame, key: str) -> str:
         """Iceberg v2 equality-delete analog (merge-on-read): commit the
