@@ -121,3 +121,38 @@ def test_delete_guards(spark, store):
     store.delete_rows("t", spark.createDataFrame([(1,)], "k long"), "k")
     with pytest.raises(ValueError, match="one equality-delete key"):
         store.delete_rows("t", spark.createDataFrame([("a1",)], "val string"), "val")
+
+
+def test_dedup_purge_composition(spark, store):
+    """The training-corpus purge flow: exact dedup finds loser doc_ids,
+    delete_rows removes them with O(keys) I/O (no table rewrite), and
+    the surviving corpus is exactly one doc per distinct text."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    store.write("corpus", docs.unionByName(copies))
+    n_all = store.read("corpus").count()
+    losers = (
+        store.read("corpus")
+        .withColumn("h", F.md5(F.col("text").cast("binary")))
+        .withColumn("keep", F.min("doc_id").over(Window.partitionBy("h")))
+        .filter(F.col("doc_id") != F.col("keep"))
+        .select("doc_id")
+    )
+    n_losers = losers.count()
+    assert n_losers == copies.count()
+    members_before = store._manifest("corpus")["members"]
+    store.delete_rows("corpus", losers, "doc_id")
+    assert store._manifest("corpus")["members"] == members_before  # no rewrite
+    kept = store.read("corpus")
+    assert kept.count() == n_all - n_losers
+    assert kept.select("text").distinct().count() == kept.count()
+    assert kept.filter(F.col("doc_id") > 100000).count() == 0  # min-id wins
