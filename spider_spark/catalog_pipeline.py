@@ -1282,3 +1282,43 @@ def t13_packed_sequence_text(spark, sf_dir):
             F.length("packed").cast("long").alias("packed_len"),
         )
     )
+
+
+@q(
+    "s9_int8_quant",
+    # per-vector symmetric int8 quantization: scale = 127/max|x|,
+    # q = floor(x*scale + 0.5).  Both engines promote the float32
+    # element against the double scale identically, so the integer
+    # outputs compare exactly — no rounding-mode divergence (floor(x+.5)
+    # sidesteps HALF_UP vs HALF_EVEN).
+    """WITH s AS (SELECT vec_id, embedding,
+           127.0 / list_aggregate(list_transform(embedding, x -> abs(x)), 'max') AS sc
+       FROM embeddings)
+       SELECT vec_id,
+         CAST(list_aggregate(list_transform(embedding,
+              x -> CAST(FLOOR(x * sc + 0.5) AS INT)), 'sum') AS BIGINT) AS q_sum,
+         CAST(list_aggregate(list_transform(embedding,
+              x -> CAST(FLOOR(x * sc + 0.5) AS INT)), 'min') AS INT) AS q_min,
+         CAST(list_aggregate(list_transform(embedding,
+              x -> CAST(FLOOR(x * sc + 0.5) AS INT)), 'max') AS INT) AS q_max
+       FROM s""",
+)
+def s9_int8_quant(spark, sf_dir):
+    """Symmetric int8 embedding quantization (the 4x storage compression
+    an ANN index over a 100 TB embedding store runs on — PQ's scalar
+    little sibling, and the form int8 ADC kernels consume).  All-JVM:
+    array_max for the per-vector scale, one transform for the codes;
+    graded on the exact integer profile (sum/min/max) per vector."""
+    e = _t(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform("embedding", lambda v: F.abs(v)))
+    sc = F.lit(127.0) / mx
+    qarr = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") * sc + F.lit(0.5)).cast("int"),
+    )
+    return e.select(
+        "vec_id",
+        F.aggregate(qarr, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min(qarr).alias("q_min"),
+        F.array_max(qarr).alias("q_max"),
+    )
