@@ -769,3 +769,43 @@ def c15_wap_publish(spark, sf_dir):
     store.publish("docs", v)
     post = store.read("docs").select(F.lit("post").alias("probe"), "doc_id")
     return pre.unionByName(post)
+
+
+@q(
+    "f20_sitemap_parse",
+    # construct -> parse identity: each doc becomes a sitemap with one
+    # prioritized <url> (priority '0.{i%9}' -> rank round(10*(1-p))) and
+    # one bare <url> (protocol default 0.5 -> rank 5), plus a malformed
+    # block the parser must DROP, not error on
+    """WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 200)
+       SELECT 'http://h' || CAST(i % 10 AS VARCHAR) || '.example/p' ||
+              CAST(i AS VARCHAR) AS url,
+              CAST(ROUND(10 * (1 - CAST('0.' || CAST(i % 9 AS VARCHAR) AS DOUBLE)))
+                   AS INT) AS priority
+       FROM ids
+       UNION ALL
+       SELECT 'http://h' || CAST((i + 1) % 10 AS VARCHAR) || '.example/p' ||
+              CAST(i + 100 AS VARCHAR), 5
+       FROM ids""",
+)
+def f20_sitemap_parse(spark, sf_dir):
+    """sitemap.xml ingestion (robots.sitemap_seeds): the standards-based
+    bulk seed channel feeding Crawler.enqueue_seeds — all-JVM block
+    split + per-block loc/priority extraction, junk blocks dropped.
+    Sitemap float priority maps onto the frontier's ascending integer
+    rank; absent priority takes the protocol's 0.5 default."""
+    from .robots import sitemap_seeds
+
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("i")
+    )
+    xml = F.concat(
+        F.lit("<urlset><url><loc>http://h"), (F.col("i") % 10).cast("string"),
+        F.lit(".example/p"), F.col("i").cast("string"),
+        F.lit("</loc><priority>0."), (F.col("i") % 9).cast("string"),
+        F.lit("</priority></url><url><loc>http://h"),
+        ((F.col("i") + 1) % 10).cast("string"),
+        F.lit(".example/p"), (F.col("i") + 100).cast("string"),
+        F.lit("</loc></url><url><changefreq>daily</changefreq></url></urlset>"),
+    )
+    return sitemap_seeds(ids.select(xml.alias("sitemap_xml")))

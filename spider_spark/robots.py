@@ -98,3 +98,41 @@ def hosts_from_robots(
         fn,
         "host string, crawl_delay int, max_concurrent int, disallow_prefixes array<string>",
     )
+
+
+def sitemap_seeds(
+    sitemaps: DataFrame,
+    xml_col: str = "sitemap_xml",
+    default_priority: int = 5,
+) -> DataFrame:
+    """sitemap.xml -> (url, priority) seed rows for Crawler.enqueue_seeds
+    (the standards-based bulk-discovery channel next to the robots cache;
+    the reference has no analog — it restarts on a hand-edited ID list,
+    shixin_spider.py:299-312).
+
+    All-JVM: one regexp pass splits <url> blocks, a transform extracts
+    <loc> and the optional <priority>.  The sitemap float priority
+    (1.0 = most important) maps onto the frontier's ascending integer
+    rank as round(10 * (1 - p)); absent -> ``default_priority`` (the
+    protocol's 0.5 default).  Malformed blocks (no <loc>) are dropped,
+    not errors — a crawl must survive junk sitemaps."""
+    from pyspark.sql import functions as F
+
+    blocks = F.expr(
+        f"regexp_extract_all({xml_col}, '<url>(.*?)</url>', 1)"
+    )
+    parsed = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.regexp_extract(b, "<loc>([^<]+)</loc>", 1).alias("url"),
+            F.regexp_extract(b, "<priority>([^<]+)</priority>", 1).alias("p"),
+        ),
+    )
+    out = sitemaps.select(F.explode(parsed).alias("e")).select(
+        F.col("e.url").alias("url"),
+        F.when(F.col("e.p") == "", F.lit(default_priority))
+        .otherwise(F.round(10 * (1 - F.col("e.p").cast("double"))))
+        .cast("int")
+        .alias("priority"),
+    )
+    return out.filter(F.col("url") != "")

@@ -130,3 +130,32 @@ def test_streaming_ingest_exactly_once(spark, tmp_path, booted):
     front = {r["url"] for r in crawler.store.read("frontier").collect()}
     assert {u for u, _ in EXTRA[:20]} <= front
     assert os.path.isdir(ckpt)
+
+
+def test_sitemap_feeds_the_seed_front_door(spark, booted):
+    """sitemap.xml -> sitemap_seeds -> enqueue_seeds: the standards-based
+    bulk channel lands in the live frontier with sitemap priorities
+    mapped onto the frontier's ascending rank."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.robots import sitemap_seeds
+
+    crawler, _, _ = booted
+    xml = (
+        "<urlset>"
+        "<url><loc>http://h2.example/p151</loc><priority>0.9</priority></url>"
+        "<url><loc>http://h3.example/p152</loc></url>"
+        "<url><changefreq>daily</changefreq></url>"  # junk: dropped
+        "</urlset>"
+    )
+    seeds = sitemap_seeds(spark.createDataFrame([(xml,)], "sitemap_xml string"))
+    got = {r["url"]: r["priority"] for r in seeds.collect()}
+    assert got == {"http://h2.example/p151": 1, "http://h3.example/p152": 5}
+    n = crawler.enqueue_seeds(seeds)
+    assert n == 2
+    front = {
+        r["url"]: r["priority"]
+        for r in crawler.store.read("frontier").filter("state = 'pending'").collect()
+    }
+    assert front["http://h2.example/p151"] == 1
+    assert front["http://h3.example/p152"] == 5
