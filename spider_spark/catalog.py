@@ -624,7 +624,10 @@ GRADED_WINDOW = [
     # temporal joins Spark lacks as built-ins, j8 as-of (union+window
     # single shuffle) and j9 range (bucketed equi, no cartesian) —
     # j4/j7 stay oracle-gated in the tail)
-    "j1_broadcast_enrich", "j2_fk_join", "j3_cache_aside",
+    # (r4 cont.: j3 cache-aside out — its left-join+default shape sits
+    # between j1's dim lookup and j2's fk join, both graded; stays
+    # oracle-gated in the tail)
+    "j1_broadcast_enrich", "j2_fk_join",
     "j5_anti_seen", "j8_asof_last_click", "j9_interval_count",
     # aggregations (r4: a2 regex-agg out — f4 grades the regex, a5 the
     # group agg; a4 in — the reference's insert-time unique-key dedup;
@@ -647,8 +650,10 @@ GRADED_WINDOW = [
     # multi-frame MPNG container decode; r4 cont.: c12 mid-crawl seed
     # ingestion through the REAL bootstrap+enqueue_seeds store path —
     # in for r5, whose operator-record parse shape r4 keeps)
-    "c3_seen_filter_split", "c12_seed_ingest", "d6_dup_components",
-    "m3_frame_sample",
+    # (r4 cont.: c13 in for j3 — merge-on-read equality deletes on real
+    # store bytes, the newest lakehouse capability, driver-graded)
+    "c3_seen_filter_split", "c12_seed_ingest", "c13_mor_delete_scan",
+    "d6_dup_components", "m3_frame_sample",
     # scalar functions (r4: f5 rlike out — near-dup of f4's regex;
     # f17 explode+top-k in — the link-extraction shape; late-r4: f11
     # url-format out — scalar concat, four f-entries keep the family)
