@@ -73,6 +73,24 @@ def cpu_probe(n: int = 2_000_000) -> float:
 
 
 _PROBE_BEST = 0.0
+_BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench")
+
+
+def _compact_round(block: dict | None) -> dict | None:
+    """Driver-line form of a crawl_round_wave block: per-round wall +
+    urls/sec only (probe/bytes detail lives in bench_detail_latest.json).
+    The 2000-char stdout-tail budget is the constraint (VERDICT r4 #1)."""
+    if not block or "rounds" not in block:
+        return block
+    out = {"filter_kind": block.get("filter_kind"),
+           "rounds": [{"round": r["round"], "wall_sec": r["wall_sec"],
+                       "urls_per_sec": r["urls_per_sec"]}
+                      for r in block["rounds"]]}
+    if "bloom_shard_table_bytes" in block:
+        out["shard_table_bytes"] = block["bloom_shard_table_bytes"]
+    if "cuckoo_shard_table_bytes" in block:
+        out["shard_table_bytes"] = block["cuckoo_shard_table_bytes"]
+    return out
 
 
 def probe_once() -> float:
@@ -504,6 +522,7 @@ def main():
     queries, queries_probe = {}, None
     round_wave = None
     round_wave_dist = None
+    round_wave_cuckoo = None
     terminated = False
     try:
         log(f"bench: catalog queries at {sf_dir}")
@@ -526,6 +545,15 @@ def main():
             except Exception as e:
                 log(f"bench: bloom-dist round wave failed ({e})")
                 round_wave_dist = {"error": str(e)[:200]}
+            # deletable seen-filter at 10^10 scale: store-backed sharded
+            # cuckoo (cogrouped membership, same pattern as bloom-dist)
+            log(f"bench: full crawl round, filter_kind=cuckoo-dist, {n_round} rows")
+            try:
+                round_wave_cuckoo = crawl_round_wave(spark, n_round, cpus,
+                                                     filter_kind="cuckoo-dist")
+            except Exception as e:
+                log(f"bench: cuckoo-dist round wave failed ({e})")
+                round_wave_cuckoo = {"error": str(e)[:200]}
         spark.stop()
     except _Terminated:
         terminated = True
@@ -553,10 +581,11 @@ def main():
         # land in the plausible band (0.8..1.1) — their median is the
         # reported efficiency (one lucky pair is not self-consistency,
         # ADVICE r3); best-per-leg maxima remain the flagged fallback.
-        # 1800s default: the VM's degraded episodes last 10-30 min; the
-        # budget must be able to straddle one whole episode and still
-        # land two clean pairs on the far side
-        phase_budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1800"))
+        # 2400s default (raised from 1800 after the r4 driver run found
+        # only ONE in-band pair): the VM's degraded episodes last 10-30
+        # min; the budget must be able to straddle one whole episode and
+        # still land two clean pairs on the far side (VERDICT r4 #2)
+        phase_budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "2400"))
         # legs are cheap enough (a pair is 2-12 min even degraded) that
         # the phase budget — not the try count — should bound the phase
         max_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_TRIES", "8"))
@@ -643,11 +672,19 @@ def main():
             log("bench: SIGTERM during scaling — emitting pairs so far")
 
         hw_vals = sorted(p["hw_scaling"] for p in pair_log if p.get("hw_scaling"))
+        # DRAM-pipe context (CLAUDE.md 4d): pairs whose hw-adjusted
+        # efficiency is in band even though the raw one is not — reported
+        # for attribution; the gate (self_consistent) stays on RAW.
+        in_band_hw = [
+            p for p in pair_log
+            if p.get("efficiency_hw_adj") and 0.8 <= p["efficiency_hw_adj"] <= 1.25
+        ]
         scaling = {
             "cores_small": small,
             "cores_big": big,
-            "pairs": pair_log,
+            "n_pairs": len(pair_log),
             "pairs_in_band": len(in_band),
+            "pairs_in_band_hw_adj": len(in_band_hw),
             "hw_scaling_median": (
                 round(hw_vals[len(hw_vals) // 2], 3) if hw_vals else None
             ),
@@ -656,6 +693,16 @@ def main():
             "probe_wait_sec": round(wait_spent[0], 1),
             "probe_waits_timed_out": n_waits[0],
         }
+        # full per-pair detail goes to a bench/ artifact, NOT the result
+        # line: the driver keeps only a 2000-char tail of stdout, and r4's
+        # 8-pair pair_log pushed the line past it (BENCH_r04 parsed: null)
+        try:
+            os.makedirs(_BENCH_DIR, exist_ok=True)
+            with open(os.path.join(_BENCH_DIR, "scaling_pairs_latest.json"), "w") as f:
+                json.dump({"pairs": pair_log, "in_band": len(in_band),
+                           "errors": errs}, f, indent=1)
+        except OSError as e:
+            log(f"bench: could not write pair artifact ({e})")
         if in_band:
             effs = sorted(p["efficiency"] for p in in_band)
             n = len(effs)
@@ -680,7 +727,7 @@ def main():
                 self_consistent=False,
             )
         if errs:
-            scaling["errors"] = errs
+            scaling["n_errors"] = len(errs)
 
     result = {
         "metric": "urls_scheduled_deduped_per_sec",
@@ -690,13 +737,33 @@ def main():
         "queries_probe_mops": queries_probe,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "frontier": wave,
-        "round": round_wave,
-        "round_bloom_dist": round_wave_dist,
+        "round": _compact_round(round_wave),
+        "round_bloom_dist": _compact_round(round_wave_dist),
+        "round_cuckoo_dist": _compact_round(round_wave_cuckoo),
         "scaling": scaling,
     }
     if terminated:
         result["terminated"] = True  # SIGTERM mid-run: partial artifact
-    print(json.dumps(result), flush=True)
+    # full-detail artifact (per-round probe/bytes, anything trimmed above)
+    try:
+        os.makedirs(_BENCH_DIR, exist_ok=True)
+        with open(os.path.join(_BENCH_DIR, "bench_detail_latest.json"), "w") as f:
+            json.dump({"result": result, "round_full": round_wave,
+                       "round_bloom_dist_full": round_wave_dist,
+                       "round_cuckoo_dist_full": round_wave_cuckoo}, f, indent=1)
+    except OSError as e:
+        log(f"bench: could not write detail artifact ({e})")
+    line = json.dumps(result)
+    # The driver records only the last 2000 chars of stdout; an overlong
+    # line means the round's official record parses as null (BENCH_r04).
+    # Degrade gracefully, never silently: drop the least-essential blocks.
+    for drop in ("round_cuckoo_dist", "round_bloom_dist", "frontier"):
+        if len(line) <= 1900:
+            break
+        result.pop(drop, None)
+        result["truncated"] = result.get("truncated", []) + [drop]
+        line = json.dumps(result)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

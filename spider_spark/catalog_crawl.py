@@ -799,13 +799,18 @@ def f20_sitemap_parse(spark, sf_dir):
     ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
         F.col("doc_id").alias("i")
     )
+    # pretty-printed (newlines inside <url> blocks, whitespace padding
+    # around the <loc> value): the standard real-world sitemap form —
+    # exercises the (?s) DOTALL block split and the <loc> trim (ADVICE r4)
     xml = F.concat(
-        F.lit("<urlset><url><loc>http://h"), (F.col("i") % 10).cast("string"),
+        F.lit("<urlset>\n  <url>\n    <loc> http://h"),
+        (F.col("i") % 10).cast("string"),
         F.lit(".example/p"), F.col("i").cast("string"),
-        F.lit("</loc><priority>0."), (F.col("i") % 9).cast("string"),
-        F.lit("</priority></url><url><loc>http://h"),
+        F.lit(" </loc>\n    <priority>0."), (F.col("i") % 9).cast("string"),
+        F.lit("</priority>\n  </url>\n  <url>\n    <loc>\n      http://h"),
         ((F.col("i") + 1) % 10).cast("string"),
         F.lit(".example/p"), (F.col("i") + 100).cast("string"),
-        F.lit("</loc></url><url><changefreq>daily</changefreq></url></urlset>"),
+        F.lit("\n    </loc>\n  </url>\n  "
+              "<url><changefreq>daily</changefreq></url>\n</urlset>"),
     )
     return sitemap_seeds(ids.select(xml.alias("sitemap_xml")))

@@ -315,13 +315,21 @@ class Crawler:
         updates = link_indegree_priorities(
             pending, self.store.read("documents"), boost_cap
         )
-        return self.store.merge_upsert(
+        v = self.store.merge_upsert(
             "frontier",
             updates,
             key="url_hash",
             partition_by=["state"],
             immutable_partitions=["fetched", "dead"],
         )
+        # durability (ADVICE r4): without a re-commit, a crash before the
+        # next round's commit_round reverts the refresh on resume() and the
+        # replayed rounds diverge from a refsim run with reprioritize set —
+        # same pattern as enqueue_seeds
+        rid = self.store.last_committed_round()
+        if rid is not None:
+            self.store.commit_round(rid, extra={"reprioritized": 1})
+        return v
 
     # ------------------------------------------------------------ audit (T6)
     def audit_lost(self, expected: DataFrame, priority: int = 0) -> int:

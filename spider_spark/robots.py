@@ -118,21 +118,29 @@ def sitemap_seeds(
     not errors — a crawl must survive junk sitemaps."""
     from pyspark.sql import functions as F
 
+    # (?s): real-world sitemaps are pretty-printed, so a <url> block spans
+    # lines — without DOTALL the extract silently yields zero seeds
     blocks = F.expr(
-        f"regexp_extract_all({xml_col}, '<url>(.*?)</url>', 1)"
+        f"regexp_extract_all({xml_col}, '(?s)<url>(.*?)</url>', 1)"
     )
     parsed = F.transform(
         blocks,
         lambda b: F.struct(
-            F.regexp_extract(b, "<loc>([^<]+)</loc>", 1).alias("url"),
+            F.trim(F.regexp_extract(b, "<loc>\\s*([^<]+?)\\s*</loc>", 1)).alias("url"),
             F.regexp_extract(b, "<priority>([^<]+)</priority>", 1).alias("p"),
         ),
     )
     out = sitemaps.select(F.explode(parsed).alias("e")).select(
         F.col("e.url").alias("url"),
-        F.when(F.col("e.p") == "", F.lit(default_priority))
-        .otherwise(F.round(10 * (1 - F.col("e.p").cast("double"))))
-        .cast("int")
-        .alias("priority"),
+        # coalesce: a non-numeric <priority> casts to null double, and a
+        # null priority row would dequeue NULLS-FIRST and break the
+        # integer-priority parity contract with refsim — malformed values
+        # fall back to the protocol default instead
+        F.coalesce(
+            F.when(F.col("e.p") == "", F.lit(default_priority))
+            .otherwise(F.round(10 * (1 - F.col("e.p").cast("double"))))
+            .cast("int"),
+            F.lit(default_priority),
+        ).alias("priority"),
     )
     return out.filter(F.col("url") != "")

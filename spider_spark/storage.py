@@ -743,6 +743,13 @@ class TableStore:
 
     # ------------------------------------------------------------ manifests
     def commit_round(self, round_id: int, extra: dict | None = None) -> None:
+        """Commit (or RE-commit) the round manifest.  Table pointers are
+        rebuilt fresh, but extra fields recorded by an earlier commit of
+        the SAME round (audit_lost's {'audit': n}, a prior seed batch's
+        {'seed_ingest': n}) are carried forward, not dropped (ADVICE r4):
+        a numeric key present in both accumulates (two seed batches in one
+        round report their total), any other collision takes the new
+        value."""
         manifest = {
             "round_id": round_id,
             "tables": {
@@ -751,9 +758,20 @@ class TableStore:
                 if os.path.isdir(self._tdir(t)) and t != "rounds" and self.exists(t)
             },
         }
-        if extra:
-            manifest.update(extra)
         path = os.path.join(self.root, "rounds", f"round_{round_id:06d}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+            for k, v in prev.items():
+                if k not in ("round_id", "tables"):
+                    manifest[k] = v
+        if extra:
+            for k, v in extra.items():
+                old = manifest.get(k)
+                if isinstance(old, (int, float)) and isinstance(v, (int, float)):
+                    manifest[k] = old + v
+                else:
+                    manifest[k] = v
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)

@@ -45,3 +45,34 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
     da = {r["doc_id"] for r in a.store.read("documents").collect()}
     db = {r["doc_id"] for r in b2.store.read("documents").collect()}
     assert da == db
+
+
+def test_reprioritize_survives_resume(spark, tmp_path):
+    """ADVICE r4: reprioritize_from_links re-commits the round manifest, so
+    a crash between the refresh and the next round's commit no longer
+    reverts the refresh on resume() — the resumed run sees the boosted
+    priorities, keeping parity with a refsim run that has reprioritize set."""
+    seeds = synth.seed_list(spark, 80, N_HOSTS, PAGE_SPACE)
+    hosts = synth.hosts_config(spark, N_HOSTS)
+    c = Crawler(spark, str(tmp_path / "r"), _cfg())
+    c.bootstrap(seeds, hosts)
+    c.run_rounds(2, expire_keep=10)
+    c.reprioritize_from_links(boost_cap=2)
+    before = {
+        r["url_hash"]: r["priority"]
+        for r in c.frontier_df().filter("state = 'pending'").collect()
+    }
+    c2 = Crawler(spark, str(tmp_path / "r"), _cfg())
+    assert c2.resume() == 2
+    after = {
+        r["url_hash"]: r["priority"]
+        for r in c2.frontier_df().filter("state = 'pending'").collect()
+    }
+    assert after == before
+    # and the manifest still records the refresh next to the round tables
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(str(tmp_path / "r"), "rounds", "round_000002.json")) as f:
+        m = _json.load(f)
+    assert m["reprioritized"] == 1

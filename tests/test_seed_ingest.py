@@ -141,21 +141,32 @@ def test_sitemap_feeds_the_seed_front_door(spark, booted):
     from spider_spark.robots import sitemap_seeds
 
     crawler, _, _ = booted
+    # pretty-printed, as real sitemaps are: multi-line <url> blocks, padded
+    # <loc>, plus a junk block and a malformed (non-numeric) <priority>
+    # that must fall back to the protocol default, never to null (ADVICE r4)
     xml = (
-        "<urlset>"
-        "<url><loc>http://h2.example/p151</loc><priority>0.9</priority></url>"
-        "<url><loc>http://h3.example/p152</loc></url>"
-        "<url><changefreq>daily</changefreq></url>"  # junk: dropped
+        "<urlset>\n"
+        "  <url>\n    <loc> http://h2.example/p151 </loc>\n"
+        "    <priority>0.9</priority>\n  </url>\n"
+        "  <url>\n    <loc>\n      http://h3.example/p152\n    </loc>\n  </url>\n"
+        "  <url><changefreq>daily</changefreq></url>\n"  # junk: dropped
+        "  <url><loc>http://h4.example/p153</loc>"
+        "<priority>high</priority></url>\n"  # malformed priority -> default
         "</urlset>"
     )
     seeds = sitemap_seeds(spark.createDataFrame([(xml,)], "sitemap_xml string"))
     got = {r["url"]: r["priority"] for r in seeds.collect()}
-    assert got == {"http://h2.example/p151": 1, "http://h3.example/p152": 5}
+    assert got == {
+        "http://h2.example/p151": 1,
+        "http://h3.example/p152": 5,
+        "http://h4.example/p153": 5,
+    }
     n = crawler.enqueue_seeds(seeds)
-    assert n == 2
+    assert n == 3
     front = {
         r["url"]: r["priority"]
         for r in crawler.store.read("frontier").filter("state = 'pending'").collect()
     }
     assert front["http://h2.example/p151"] == 1
     assert front["http://h3.example/p152"] == 5
+    assert front["http://h4.example/p153"] == 5

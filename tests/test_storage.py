@@ -307,3 +307,24 @@ def test_interleaved_handles_conflict_via_append(spark, tmp_path):
         a._write_segment = orig
     # B's rows survived; A's aborted rows are not in the table
     assert sorted(r["id"] for r in a.read("t").collect()) == [0, 1, 10, 11]
+
+
+def test_commit_round_merges_extras(spark, tmp_path):
+    """Re-committing the SAME round (enqueue_seeds, audit_lost,
+    reprioritize all do this) must carry earlier extras forward, not drop
+    them; numeric collisions accumulate (two seed batches in one round
+    report their total).  ADVICE r4."""
+    import json as _json
+    import os as _os
+
+    st = TableStore(spark, str(tmp_path / "extras"))
+    st.write("t", spark.range(3).selectExpr("id", "id * 2 AS v"))
+    st.commit_round(1, extra={"audit": 3})
+    st.commit_round(1, extra={"seed_ingest": 5})
+    st.commit_round(1, extra={"seed_ingest": 2, "note": "a"})
+    with open(_os.path.join(str(tmp_path / "extras"), "rounds", "round_000001.json")) as f:
+        m = _json.load(f)
+    assert m["audit"] == 3
+    assert m["seed_ingest"] == 7
+    assert m["note"] == "a"
+    assert "t" in m["tables"]
