@@ -396,6 +396,9 @@ def crawl_round_wave(
             # store table (never driver memory / broadcast)
             out["bloom_shard_table_bytes"] = store_bytes("bloom_shards")
             out["bloom_shards"] = cfg.bloom_shards
+        if filter_kind == "cuckoo-dist":
+            out["cuckoo_shard_table_bytes"] = store_bytes("cuckoo_shards")
+            out["cuckoo_shards"] = cfg.bloom_shards
         return out
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -667,8 +667,11 @@ GRADED_WINDOW = [
     # SQL-checkable expectation
     "st1_stream_window_counts", "st3_stream_stateful_totals",
     "st5_stream_stream_join",
-    # text analysis
-    "t1_token_count", "t2_quality_ratio", "t3_langid_markers",
+    # text analysis (r5: t2 quality-ratio out — a scalar ratio shape,
+    # t1/t3 keep the family; t12 in — token-budget sequence packing, the
+    # LLM-export op, plan-gated to ONE hash exchange; t2 stays
+    # oracle-gated in the tail)
+    "t1_token_count", "t3_langid_markers", "t12_token_packing",
     "t4_fingerprint_stability",
     # dedup ladder
     "d1_exact_dedup", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
@@ -678,15 +681,19 @@ GRADED_WINDOW = [
     "d8_decontaminate", "d5_embedding_near_dup",
     # similarity / media (r4: +s5 multi-probe ANN planted recall,
     # +m2 real-PNG decode->binarize — both formerly rows-only families;
-    # r4 cont.: +s8 product-quantization recall — the compressed-index
-    # ANN path, JVM-only ADC at query time)
-    "s1_cosine_topk", "s5_ann_planted_recall", "s8_pq_planted_recall",
+    # r5: s8 PQ recall out (stays oracle-gated in the tail), s10 in —
+    # BATCH ANN serving: every vec_id<1000 as a query in ONE bucket
+    # equi-join, zero per-query driver jobs, plan-gated)
+    "s1_cosine_topk", "s5_ann_planted_recall", "s10_ann_batch_recall",
     "m2_binarize_media", "m4_captcha_ocr",
     # record-parser families (late-r4: r8 credit-enforce out — fourth
     # credit-table parse, r1/r2/r7 keep the family; it stays oracle-gated
     # in the tail.  m8 in: real baseline-JPEG decode — the format the
     # reference crawler persists — graded end-to-end)
-    "r1_credit_query_parse", "r2_credit_card_parse", "r3_phone_book_parse",
+    # (r5: r2 credit-card parse out — r1/r7 keep the credit family; c14
+    # in — column-stats manifest skipping on REAL store bytes, the entry
+    # RAISES if the out-of-range member was not pruned)
+    "r1_credit_query_parse", "c14_stats_skip_scan", "r3_phone_book_parse",
     "r4_operator_user_json", "r6_phone_attribution",
     "r7_credit_guarantee_parse", "m8_jpeg_stats",
     # headline analytical queries

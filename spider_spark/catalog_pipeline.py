@@ -457,6 +457,43 @@ def s8_pq_planted_recall(spark, sf_dir):
     return out
 
 
+@q(
+    "s10_ann_batch_recall",
+    # planted-copy ground truth, BATCH serving form (VERDICT r4 #3): an
+    # exact duplicate shares the query's signature, lands in the h=0
+    # probe bucket, and reranks at cosine 1.0 — with no real duplicate
+    # embeddings in the data (verified per-SF) only {q, q+1e6} tie at
+    # 1.0, so the planted dup is always inside top-5
+    """SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS dup_found
+       FROM embeddings WHERE vec_id < 1000""",
+)
+def s10_ann_batch_recall(spark, sf_dir):
+    """Batch ANN serving: EVERY base vector (vec_id < 1000 — the whole
+    table at sf0.01) is a query in ONE job — queries DataFrame, probe
+    masks exploded, one equi-join on sig against the LSH index, window
+    top-5 — no per-query driver loop (the s5 loop served 20 queries as
+    20 jobs; the dedup-at-ingest path needs 10^6/round).  Reference
+    need: phone_book.py:107-110 dedup-before-insert, at scale."""
+    from .functions.similarity import ann_topk_batch, build_lsh_index
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    both = e.unionByName(
+        e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    index = build_lsh_index(both, 64)
+    queries = e.filter(F.col("vec_id") < 1000).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ann_topk_batch(
+        queries, index, 64, k=5, probe_hamming=1, broadcast_queries=True
+    )
+    return top.groupBy("query_id").agg(
+        F.max(F.col("vec_id") == F.col("query_id") + 1_000_000).alias("dup_found")
+    )
+
+
 # =====================================================================
 # multimodal plumbing
 # =====================================================================

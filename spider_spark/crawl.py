@@ -40,12 +40,25 @@ class Crawler:
             from .cuckoo import ShardedCuckoo
 
             return ShardedCuckoo(self.cfg.cuckoo_buckets)
+        if self.cfg.filter_kind == "cuckoo-dist":
+            from .cuckoo import DistributedCuckoo
+
+            # buckets split across shards so total capacity matches the
+            # driver-resident form (both counts are powers of two)
+            per_shard = max(64, self.cfg.cuckoo_buckets // self.cfg.bloom_shards)
+            return DistributedCuckoo(
+                self.spark, self.store, self.cfg.bloom_shards, per_shard
+            )
         if self.cfg.filter_kind == "bloom-dist":
             from .bloom import DistributedBloom
 
             return DistributedBloom(
                 self.spark, self.store, self.cfg.bloom_shards, self.cfg.bloom_bits
             )
+        if self.cfg.filter_kind != "bloom":
+            # an unknown kind silently falling back to bloom would let a
+            # benchmark run mislabeled (caught in r5's cuckoo-dist leg)
+            raise ValueError(f"unknown filter_kind: {self.cfg.filter_kind!r}")
         return ShardedBloom(self.cfg.bloom_shards, self.cfg.bloom_bits)
 
     # ------------------------------------------------------------ bootstrap

@@ -31,6 +31,7 @@ def dequeue(
     round_id: int,
     global_cap: int | None = None,
     hosts_df: DataFrame | None = None,
+    rank_salt: int | None = None,
 ) -> DataFrame:
     """One round's fetch batch.
 
@@ -46,6 +47,16 @@ def dequeue(
     a max_concurrent slot.  With a static robots config it is a no-op
     (every pending row already passed the enqueue-time filter), so crawl
     parity under fixed hosts is unchanged.  Mirrored in refsim.simulate.
+
+    ``rank_salt`` = S enables the two-phase hot-host rank (VERDICT r4 #4):
+    the per-host window alone sorts one host's ENTIRE pending set in one
+    task — 10^9 rows for a viral domain.  Phase 1 pre-ranks per
+    (host, pmod(xxhash64(url), S)) and keeps ≤ cap rows per salt slice;
+    phase 2 runs the exact per-host rank on the ≤ S·cap survivors.
+    RESULTS-IDENTICAL to the single window: deleting rows never increases
+    a survivor's rank, so any row with host-rank ≤ cap has slice-rank ≤
+    cap in its slice — phase 1 keeps every global winner, phase 2 restores
+    the exact order/caps (no refsim change needed; parity tests prove it).
     """
     cand = frontier.filter(
         F.col("state").isin("pending", "retry") & (F.col("next_fetch_time") <= F.lit(round_id))
@@ -54,6 +65,16 @@ def dequeue(
         from . import politeness
 
         cand = politeness.robots_allowed(cand, hosts_df)
+    if rank_salt and rank_salt > 1:
+        wpre = Window.partitionBy("host", "_slice").orderBy(
+            *[F.col(c).asc() for c in ORDER_COLS]
+        )
+        cand = (
+            cand.withColumn("_slice", F.pmod(F.xxhash64("url"), F.lit(rank_salt)))
+            .withColumn("_prk", F.row_number().over(wpre))
+            .filter(F.col("_prk") <= F.col("max_concurrent"))
+            .drop("_slice", "_prk")
+        )
     w = Window.partitionBy("host").orderBy(*[F.col(c).asc() for c in ORDER_COLS])
     ranked = (
         cand.withColumn("_rk", F.row_number().over(w))

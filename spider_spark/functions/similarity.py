@@ -148,6 +148,130 @@ def ann_lsh_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """Query-INDEPENDENT multi-probe XOR masks: the probe bucket set of
+    any signature s is {s ^ m for m in masks}.  C(n_planes, ≤h) values —
+    a driver-side constant, so batch serving can fold them into a literal
+    array instead of enumerating per query."""
+    from itertools import combinations
+
+    out = []
+    for h in range(probe_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            out.append(m)
+    return out
+
+
+def ann_topk_batch(
+    queries: DataFrame,
+    index: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = False,
+) -> DataFrame:
+    """Batch ANN serving (VERDICT r4 #3): queries as a DATAFRAME against a
+    persisted LSH index — ONE equi-join, zero per-query driver jobs.
+
+    Shape: sign each query vector (the only python stage, Arrow-batched,
+    on the query side only), explode the query-independent probe masks
+    into (query_id, qvec, sig) rows, equi-join the index on ``sig``,
+    exact-rerank JVM-side (zip_with/aggregate cosine), and take per-query
+    top-k with a row_number window.
+
+    Scale model at 10^6 queries/round against a 10^10-vector index: the
+    probe explode is |queries| × C(n_planes, ≤h) rows (13× at 12/1); the
+    sig join shuffles only matching buckets (or broadcasts the probe side
+    when the batch is small — pass broadcast_queries=True); the window
+    shuffles candidates by query_id.  Each (query, vector) pair meets at
+    most once — an index row has ONE sig and a query's probe sigs are
+    distinct — so no dedup stage is needed.  Returns
+    (query_id, id_col, cos_sim) with cos_sim rounded like cosine_topk."""
+    masks = probe_masks(n_planes, probe_hamming)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        lsh_signature_udf(F.col(vec_col), dim, n_planes, seed).alias("_qsig"),
+    )
+    probes = q.select(
+        "query_id",
+        "_qvec",
+        F.explode(
+            F.array([F.col("_qsig").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("sig"),
+    )
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    cand = probes.join(index.select(id_col, vec_col, "sig"), "sig")
+    scored = cand.select(
+        "query_id",
+        id_col,
+        F.round(cosine_col(F.col(vec_col), F.col("_qvec")), 4).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def ivf_topk_batch(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = False,
+) -> DataFrame:
+    """Batch IVF serving: per-query probe cells computed in the same
+    Arrow stage that scores the (tiny) centroid matrix, exploded, then
+    ONE equi-join on ivf_cell against the persisted assignment table and
+    a per-query top-k window — the IVF twin of ann_topk_batch."""
+    cents = centroids
+
+    def cells(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        order = np.argsort(-(m @ cents.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        pandas_udf(cells, "array<int>")(F.col(vec_col)).alias("_cells"),
+    )
+    probes = q.select("query_id", "_qvec", F.explode("_cells").alias("ivf_cell"))
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    cand = probes.join(assigned.select(id_col, vec_col, "ivf_cell"), "ivf_cell")
+    scored = cand.select(
+        "query_id",
+        id_col,
+        F.round(cosine_col(F.col(vec_col), F.col("_qvec")), 4).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_cells: int = 16,

@@ -58,6 +58,12 @@ class CrawlConfig:
     # (e.g. 4096 buckets ≈ 2.4M keys/bucket).
     seen_buckets: int = 16
     media_buckets: int = 16
+    # two-phase hot-host dequeue rank (frontier.dequeue rank_salt): the
+    # per-host rank window alone sorts a viral host's whole pending set
+    # in ONE task at 10^10 rows; S > 1 pre-ranks per (host, salt-slice)
+    # keeping ≤ cap rows/slice, then exact-ranks the ≤ S·cap survivors.
+    # Results-identical (parity-gated); None/1 keeps the single window.
+    rank_salt: int | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -108,7 +114,10 @@ def run_round(
     round_pins: list[DataFrame] = []  # extra intermediates to unpersist
 
     elig = politeness.eligible_hosts(hosts_df, host_state_df, round_id)
-    batch = frontier.dequeue(frontier_df, elig, round_id, cfg.global_cap, hosts_df=hosts_df)
+    batch = frontier.dequeue(
+        frontier_df, elig, round_id, cfg.global_cap, hosts_df=hosts_df,
+        rank_salt=cfg.rank_salt,
+    )
 
     results = materialize(
         "_round_results",
@@ -165,11 +174,11 @@ def run_round(
     cand = politeness.robots_allowed(cand, hosts_df).cache()
     n_cand = cand.count()
 
-    from .cuckoo import ShardedCuckoo, cuckoo_prefilter
+    from .cuckoo import DistributedCuckoo, ShardedCuckoo, cuckoo_prefilter
 
     if isinstance(bloom, ShardedCuckoo):
         definite_new, maybe_seen, bloom_bc = cuckoo_prefilter(spark, cand, bloom)
-    elif isinstance(bloom, bloom_mod.DistributedBloom):
+    elif isinstance(bloom, (bloom_mod.DistributedBloom, DistributedCuckoo)):
         # pin the tagged frame: both halves + the bucket-id collect below
         # consume it, and the shard cogroup must run ONCE per round
         def _pin_tagged(df):

@@ -89,6 +89,7 @@ def test_crawl_identical_under_any_seen_filter(spark, tmp_path):
     outs = {}
     for kind, use in (
         ("none", False), ("bloom", True), ("cuckoo", True), ("bloom-dist", True),
+        ("cuckoo-dist", True),
     ):
         cfg = CrawlConfig(
             n_hosts=n_hosts, page_space=page_space, max_retries=2,
@@ -106,4 +107,53 @@ def test_crawl_identical_under_any_seen_filter(spark, tmp_path):
             c.seen_urls(),
             {(r["url"], r["state"]) for r in c.frontier_df().collect()},
         )
-    assert outs["none"] == outs["bloom"] == outs["cuckoo"] == outs["bloom-dist"]
+    assert (
+        outs["none"] == outs["bloom"] == outs["cuckoo"]
+        == outs["bloom-dist"] == outs["cuckoo-dist"]
+    )
+
+
+def test_distributed_cuckoo_matches_local_and_deletes(spark, tmp_path):
+    """DistributedCuckoo: (a) prefilter split keeps every truly-seen key
+    in maybe_seen and passes most new keys; (b) delete_from_df removes
+    fingerprints per-shard WITHOUT a rebuild (the property bloom lacks);
+    (c) the shard table is the filter's only state (store-resident)."""
+    import os
+
+    from spider_spark.cuckoo import DistributedCuckoo
+    from spider_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    dc = DistributedCuckoo(spark, store, n_shards=8, buckets_per_shard=1 << 11)
+    seen_keys = _hashes(7, 1_000)
+    dc.update_from_df(
+        spark, spark.createDataFrame([(int(k),) for k in seen_keys], "url_hash long")
+    )
+    new_keys = _hashes(8, 1_000)
+    cand = spark.createDataFrame(
+        [(int(k),) for k in np.concatenate([seen_keys, new_keys])], "url_hash long"
+    )
+    definite_new, maybe_seen, _ = dc.prefilter(cand)
+    maybe = {r["url_hash"] for r in maybe_seen.collect()}
+    assert set(int(k) for k in seen_keys) <= maybe, "no URL dropped on filter evidence"
+    assert definite_new.count() > 900, "most new keys must skip the exact check"
+
+    # delete half the seen keys: they become (mostly) definitely-new again,
+    # survivors keep reading maybe
+    victims, survivors = seen_keys[:500], seen_keys[500:]
+    dc.delete_from_df(
+        spark.createDataFrame([(int(k),) for k in victims], "url_hash long")
+    )
+    d2, m2, _ = dc.prefilter(cand)
+    maybe2 = {r["url_hash"] for r in m2.collect()}
+    assert set(int(k) for k in survivors) <= maybe2, "delete must not evict survivors"
+    victims_still_maybe = len(set(int(k) for k in victims) & maybe2)
+    assert victims_still_maybe < 100, (
+        f"deleted keys should mostly read new again ({victims_still_maybe} still maybe)"
+    )
+    # state lives in the store table, not the driver
+    assert store.exists(DistributedCuckoo.TABLE)
+    seg_files = []
+    for root, _d, files in os.walk(str(tmp_path / DistributedCuckoo.TABLE)):
+        seg_files += [f for f in files if f.endswith(".parquet")]
+    assert seg_files, "shard bitmaps must be parquet members"

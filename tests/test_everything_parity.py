@@ -45,6 +45,7 @@ def everything_crawl(spark, tmp_path_factory):
         proxies=["p1:3128", "p2:3128", "p3:3128"],
         seen_buckets=8,
         media_buckets=8,
+        rank_salt=4,  # two-phase hot-host rank — results-identical by proof
     )
     # 30% of seed rows pile onto host 0 (the salted-repartition skew case)
     seeds = synth.seed_list(spark, 140, N_HOSTS, PAGE_SPACE, hot_frac=0.3, hot_host=0)

@@ -234,6 +234,28 @@ def test_documents_round_partition_pruning(spark, tmp_path):
     assert scan.count() > 0
 
 
+def test_s10_batch_ann_is_one_join_no_driver_loop(spark):
+    """VERDICT r4 #3: batch ANN serving must be ONE bucket equi-join
+    (broadcast here — the query batch is config-sized) feeding a single
+    per-query window — never a cartesian, never per-query jobs.  Exactly
+    one python stage (the query-side signature UDF; index signatures are
+    part of the same single-job build in this entry)."""
+    import re
+
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["s10_ann_batch_recall"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    joins = re.findall(r"\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+    assert len(joins) == 1, f"expected exactly one join, got {joins}"
+    # exactly one per-query top-k window ("Window\b" so WindowGroupLimit
+    # nodes don't count), with the group-limit pushed BELOW the exchange —
+    # each task keeps only its local top-5 per query before shuffling
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert "WindowGroupLimit" in plan
+    assert "MapInPandas" not in plan, "signatures are Arrow column UDFs, not mapInPandas"
+
+
 def test_packing_plans_are_single_shuffle(spark):
     """t12/t13: the packing window, the sequence-level window, and the
     final aggregate must all ride ONE (lang, shard) hash exchange —

@@ -191,3 +191,75 @@ def test_persisted_lsh_index_pushes_sig_filter_to_scan(spark, tmp_path, emb, qv)
     assert "In(sig" in pushed, f"probe-set IN filter must reach the scan, got: {pushed}"
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert served.count() >= 0
+
+
+def test_batch_ann_matches_per_query_loop(spark, emb):
+    """ann_topk_batch (one join, no driver loop) returns the SAME top-k
+    per query as the per-query ann_lsh_topk path for every query it is
+    given — batch serving is an execution-shape change, not a semantic
+    one."""
+    from spider_spark.functions.similarity import (
+        ann_lsh_topk,
+        ann_topk_batch,
+        build_lsh_index,
+    )
+
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    index = build_lsh_index(base, 64).persist()
+    queries = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = ann_topk_batch(queries, index, 64, k=5, probe_hamming=1)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_sim"]))
+    # rank order == (cos desc, id asc); normalize collect order to it
+    got = {k: sorted(v, key=lambda t: (-t[1], t[0])) for k, v in got.items()}
+    for r in queries.collect():
+        loop = [
+            (x["vec_id"], x["cos_sim"])
+            for x in ann_lsh_topk(
+                base, list(r["embedding"]), k=5, probe_hamming=1, index=index
+            ).collect()
+        ]
+        assert got[r["query_id"]] == loop, f"query {r['query_id']} diverged"
+    index.unpersist()
+
+
+def test_batch_ivf_matches_per_query_loop(spark, emb):
+    """ivf_topk_batch == the per-query IVF path (probe cells from the
+    same trained centroids, same tie-break)."""
+    import numpy as np
+
+    from spider_spark.functions.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk_batch,
+        train_ivf_centroids,
+    )
+
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    cents = train_ivf_centroids(base, n_cells=8)
+    assigned, cents = ivf_assign(base, n_cells=8, centroids=cents)
+    assigned = assigned.persist()
+    queries = base.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = ivf_topk_batch(queries, assigned, cents, k=5, n_probe=3)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_sim"]))
+    got = {k: sorted(v, key=lambda t: (-t[1], t[0])) for k, v in got.items()}
+    for r in queries.collect():
+        q = np.array(r["embedding"], dtype=np.float64)
+        probe = np.argsort(-(cents @ q))[:3].tolist()
+        loop = [
+            (x["vec_id"], x["cos_sim"])
+            for x in cosine_topk(
+                assigned.filter(F.col("ivf_cell").isin(probe)),
+                [float(v) for v in r["embedding"]],
+                k=5,
+            ).collect()
+        ]
+        assert got[r["query_id"]] == loop, f"query {r['query_id']} diverged"
+    assigned.unpersist()

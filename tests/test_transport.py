@@ -1,0 +1,179 @@
+"""Real-transport retry ladder (transport.py) — injection-tested: mock
+transports raise each exception class the reference's basicRequest
+(share_func.py:103-171) handles, and the ladder must react exactly as it
+does (timeout+=1 & retry / drop proxy / verify off / sleep & retry),
+mapping exhausted budgets onto the engine's err_type 1/2/3 contract.
+The real network is never touched (the sandbox has none); the simnet
+fetcher remains the engine default."""
+
+from __future__ import annotations
+
+import pytest
+
+from spider_spark.transport import (
+    ERR_OK,
+    ERR_REQUEST,
+    ERR_TIMEOUT,
+    ERR_UNKNOWN,
+    TransportError,
+    TransportProxyError,
+    TransportSSLError,
+    TransportTimeout,
+    fetch_with_ladder,
+)
+
+
+class Recorder:
+    """A scripted transport: pops one behavior per call and records the
+    exact arguments the ladder passed."""
+
+    def __init__(self, script):
+        self.script = list(script)
+        self.calls = []
+
+    def __call__(self, url, timeout, proxy, verify):
+        self.calls.append({"url": url, "timeout": timeout, "proxy": proxy,
+                           "verify": verify})
+        step = self.script.pop(0)
+        if isinstance(step, Exception):
+            raise step
+        return step
+
+
+def no_sleep(_s):
+    pass
+
+
+def test_ok_response_passes_through():
+    t = Recorder([(200, "<html><title>x</title></html>")])
+    o = fetch_with_ladder("http://a/", transport=t, sleep=no_sleep)
+    assert (o.err_type, o.status, o.attempts) == (ERR_OK, 200, 1)
+    assert o.body.startswith("<html>")
+
+
+def test_timeout_bumps_timeout_and_retries_then_err2():
+    # ref ladder: sleep, timeout += 1, retry; budget exhausted -> timeout err
+    t = Recorder([TransportTimeout("t1"), TransportTimeout("t2")])
+    slept = []
+    o = fetch_with_ladder("http://a/", transport=t, timeout=3.0,
+                          resend_times=1, sleep=slept.append)
+    assert o.err_type == ERR_TIMEOUT and o.attempts == 2
+    assert [c["timeout"] for c in t.calls] == [3.0, 4.0], "timeout must bump +1"
+    assert slept == [0.5]
+
+
+def test_timeout_then_success_recovers():
+    t = Recorder([TransportTimeout("t"), (200, "ok")])
+    o = fetch_with_ladder("http://a/", transport=t, resend_times=1, sleep=no_sleep)
+    assert (o.err_type, o.attempts) == (ERR_OK, 2)
+
+
+def test_proxy_error_drops_proxy_then_err1():
+    t = Recorder([TransportProxyError("p"), (200, "ok")])
+    o = fetch_with_ladder("http://a/", transport=t, proxy="p1:3128",
+                          resend_times=1, sleep=no_sleep)
+    assert o.err_type == ERR_OK and o.proxy_dropped
+    assert [c["proxy"] for c in t.calls] == ["p1:3128", None], (
+        "retry must run proxy-less, like options['proxies'] = None"
+    )
+    # exhausted budget -> request-failed (retryable by the state machine)
+    t2 = Recorder([TransportProxyError("p"), TransportProxyError("p")])
+    o2 = fetch_with_ladder("http://a/", transport=t2, proxy="p1:3128",
+                           resend_times=1, sleep=no_sleep)
+    assert o2.err_type == ERR_REQUEST
+
+
+def test_ssl_error_disables_verify_then_err1():
+    t = Recorder([TransportSSLError("s"), (200, "ok")])
+    o = fetch_with_ladder("http://a/", transport=t, resend_times=1, sleep=no_sleep)
+    assert o.err_type == ERR_OK and o.verify_disabled
+    assert [c["verify"] for c in t.calls] == [True, False], (
+        "retry must run verify=False, like options['verify'] = False"
+    )
+    t2 = Recorder([TransportSSLError("s"), TransportSSLError("s")])
+    assert fetch_with_ladder("http://a/", transport=t2, resend_times=1,
+                             sleep=no_sleep).err_type == ERR_REQUEST
+
+
+def test_other_error_sleeps_retries_then_err3():
+    t = Recorder([TransportError("x"), TransportError("x")])
+    slept = []
+    o = fetch_with_ladder("http://a/", transport=t, resend_times=1,
+                          sleep=slept.append)
+    assert o.err_type == ERR_UNKNOWN and o.attempts == 2
+    assert slept == [2.0]
+
+
+def test_zero_budget_fails_immediately():
+    t = Recorder([TransportTimeout("t")])
+    o = fetch_with_ladder("http://a/", transport=t, resend_times=0, sleep=no_sleep)
+    assert o.err_type == ERR_TIMEOUT and o.attempts == 1
+
+
+@pytest.mark.parametrize(
+    "status,expected",
+    [(200, ERR_OK), (204, ERR_OK), (404, ERR_UNKNOWN), (403, ERR_UNKNOWN),
+     (408, ERR_TIMEOUT), (429, ERR_REQUEST), (500, ERR_REQUEST), (503, ERR_REQUEST)],
+)
+def test_http_status_mapping(status, expected):
+    o = fetch_with_ladder("http://a/", transport=Recorder([(status, "b")]),
+                          sleep=no_sleep)
+    assert o.err_type == expected, f"status {status}"
+
+
+def test_mixed_ladder_composes():
+    """timeout -> proxyerror -> ssl -> success, all in one ladder walk,
+    each rung applying its own remedy."""
+    t = Recorder([
+        TransportTimeout("t"), TransportProxyError("p"),
+        TransportSSLError("s"), (200, "ok"),
+    ])
+    o = fetch_with_ladder("http://a/", transport=t, proxy="p1:3128",
+                          timeout=3.0, resend_times=3, sleep=no_sleep)
+    assert o.err_type == ERR_OK and o.attempts == 4
+    assert o.proxy_dropped and o.verify_disabled
+    last = t.calls[-1]
+    assert last["timeout"] == 4.0 and last["proxy"] is None and last["verify"] is False
+
+
+def test_http_fetch_fn_pluggable_into_fetch_batch(spark):
+    """make_http_fetch_fn is a drop-in for the simnet fetcher: same
+    mapInPandas schema, JVM span assembly still applies, err rows route
+    by type — driven through a real Spark stage with a scripted
+    transport (no network)."""
+    import pyspark.sql.functions as F
+
+    from spider_spark.fetch import _RAW_SCHEMA, _SPANS_EXPR, salted_repartition
+    from spider_spark.transport import make_http_fetch_fn
+
+    def scripted(url, timeout, proxy, verify):
+        if url.endswith("/p1"):
+            return 200, ("<html><title>T1</title><p>alpha beta</p>"
+                         "<img src='http://h0.example/i.png'/>"
+                         "<p>gamma</p><a href='http://h0.example/p2'>x</a></html>")
+        if url.endswith("/p2"):
+            raise TransportTimeout("slow")
+        return 404, "nope"
+
+    rows = [
+        ("http://h0.example/p1", 1, "h0.example", 0, 0, 0, 0),
+        ("http://h0.example/p2", 2, "h0.example", 0, 0, 0, 0),
+        ("http://h0.example/p3", 3, "h0.example", 0, 0, 0, 0),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "url string, url_hash long, host string, priority int, depth int, "
+        "retry_count int, discovered_round long",
+    )
+    fn = make_http_fetch_fn(transport=scripted, resend_times=1, sleep=lambda s: None)
+    raw = salted_repartition(batch, 2, 2).mapInPandas(fn, _RAW_SCHEMA)
+    got = {r["url"]: r for r in raw.withColumn("spans", F.expr(_SPANS_EXPR)).collect()}
+    ok = got["http://h0.example/p1"]
+    assert ok["err_type"] == 0 and ok["status"] == 200
+    kinds = [s["kind"] for s in ok["spans"]]
+    assert kinds == ["title", "text", "media", "text", "link"]
+    assert ok["spans"][0]["text"] == "T1"
+    assert [s["offset"] for s in ok["spans"]] == [0, 1, 2, 3, 4]
+    assert got["http://h0.example/p2"]["err_type"] == ERR_TIMEOUT
+    assert got["http://h0.example/p3"]["err_type"] == ERR_UNKNOWN
+    assert got["http://h0.example/p2"]["spans"] is None
