@@ -494,6 +494,39 @@ def s10_ann_batch_recall(spark, sf_dir):
     )
 
 
+@q(
+    "s11_pq_batch_recall",
+    # planted-copy ground truth, PQ batch form: the exact duplicate
+    # attains the maximum possible ADC score (argmax-dot encoding, s8's
+    # argument), survives the rerank cut, and reranks at cosine 1.0
+    """SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS dup_found
+       FROM embeddings WHERE vec_id < 200""",
+)
+def s11_pq_batch_recall(spark, sf_dir):
+    """Batch PQ serving (the compressed-index twin of s10): 200 queries
+    LUT-scored against the (id, codes) index in one job — codes exploded
+    once, broadcast LUT join, per-(query,id) sum, rerank-pool window,
+    exact rerank.  ADC is inherently all-pairs; at 10^6 queries this is
+    the rerank stage behind an IVF/LSH prefilter, not the front door."""
+    from .functions.similarity import pq_encode, pq_topk_batch, train_pq_codebooks
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    both = e.unionByName(
+        e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    books = train_pq_codebooks(both, m_sub=8, n_codes=16)
+    index = pq_encode(both, books)
+    queries = e.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = pq_topk_batch(queries, index, both, books, k=5, rerank=64)
+    return top.groupBy("query_id").agg(
+        F.max(F.col("vec_id") == F.col("query_id") + 1_000_000).alias("dup_found")
+    )
+
+
 # =====================================================================
 # multimodal plumbing
 # =====================================================================

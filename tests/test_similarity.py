@@ -263,3 +263,36 @@ def test_batch_ivf_matches_per_query_loop(spark, emb):
         ]
         assert got[r["query_id"]] == loop, f"query {r['query_id']} diverged"
     assigned.unpersist()
+
+
+def test_batch_pq_matches_per_query_loop(spark, emb):
+    """pq_topk_batch == pq_topk per query (same codebooks, same rerank
+    pool size) — the LUT-join scoring is the set-wise form of the same
+    ADC arithmetic."""
+    from spider_spark.functions.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_topk_batch,
+        train_pq_codebooks,
+    )
+
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    books = train_pq_codebooks(base, m_sub=8, n_codes=16)
+    index = pq_encode(base, books).persist()
+    queries = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = pq_topk_batch(queries, index, base, books, k=5, rerank=64)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_sim"]))
+    got = {k: sorted(v, key=lambda t: (-t[1], t[0])) for k, v in got.items()}
+    for r in queries.collect():
+        loop = [
+            (x["vec_id"], x["cos_sim"])
+            for x in pq_topk(
+                index, base, books, [float(v) for v in r["embedding"]], k=5, rerank=64
+            ).collect()
+        ]
+        assert got[r["query_id"]] == loop, f"query {r['query_id']} diverged"
+    index.unpersist()
