@@ -176,6 +176,119 @@ def fetch_with_ladder(
         return out
 
 
+def make_browser_fetch_fn(
+    render,
+    renderer_pool: list[str] | None = None,
+    keep_body: bool = False,
+):
+    """S3: JS-rendered fetch via an EXTERNAL renderer pool — the last §2
+    row (the reference drives Chrome/PhantomJS for form login + cookie
+    harvest, china_mobile_gd.py:76-148).  An executor cannot host a
+    browser; the honest Spark-shaped form is a seam: ``render(url,
+    endpoint) -> (status, html)`` speaks to a remote rendering service
+    (CDP/Selenium grid/headless farm), and each PARTITION pins one pool
+    endpoint (same affinity rule as proxies/T5 — a replayed round rides
+    the same renderer, so cookie/session state is deterministic per
+    partition).
+
+    Everything downstream is identical to the other fetchers: the
+    rendered DOM (which may contain JS-materialized content absent from
+    the raw response) parses through html_to_spans into the flat fetch
+    columns inside this one python stage; the JVM assembles spans.
+    ``render`` raising any Transport* exception routes the row to the
+    matching err_type — renderer crashes are data, not task failures.
+    Contract-tested with a scripted renderer; no browser runs in CI."""
+    import numpy as np
+    import pandas as pd
+    from pyspark import TaskContext
+
+    from . import canon
+    from .parse import html_to_spans
+
+    def flat_from_body(body):
+        spans = html_to_spans(body) if body else []
+        title = next((s["text"] for s in spans if s["kind"] == "title"), "")
+        texts = [s["text"] for s in spans if s["kind"] == "text"][:2]
+        media = next((s["media_ref"] for s in spans if s["kind"] == "media"), None)
+        links = [s["text"] for s in spans if s["kind"] == "link"][:3]
+        return title, texts, media, links
+
+    def fetch_fn(batches):
+        session = None
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        for pdf in batches:
+            if session is None:
+                endpoint = (
+                    renderer_pool[pid % len(renderer_pool)] if renderer_pool else None
+                )
+                session = {"partition": pid, "endpoint": endpoint}
+            n = len(pdf)
+            status = np.zeros(n, dtype=np.int32)
+            err = np.zeros(n, dtype=np.int32)
+            cols = {
+                "title": [""] * n, "text1": [""] * n,
+                "has_media": np.zeros(n, dtype=bool), "media_ref": [""] * n,
+                "has_text2": np.zeros(n, dtype=bool), "text2": [""] * n,
+                "n_links": np.zeros(n, dtype=np.int32),
+                "link0": [""] * n, "link1": [""] * n, "link2": [""] * n,
+            }
+            bodies = [None] * n
+            for i, url in enumerate(pdf["url"].tolist()):
+                try:
+                    st, html = render(url, session["endpoint"])
+                except TransportTimeout:
+                    status[i], err[i] = 0, ERR_TIMEOUT
+                    continue
+                except (TransportProxyError, TransportSSLError):
+                    status[i], err[i] = 0, ERR_REQUEST
+                    continue
+                except TransportError:
+                    status[i], err[i] = 0, ERR_UNKNOWN
+                    continue
+                status[i] = st
+                if not (200 <= st < 300):
+                    err[i] = (
+                        ERR_TIMEOUT if st == 408
+                        else ERR_REQUEST if st in (429,) or st >= 500
+                        else ERR_UNKNOWN
+                    )
+                    continue
+                title, texts, media, links = flat_from_body(html)
+                cols["title"][i] = title
+                cols["text1"][i] = texts[0] if texts else ""
+                cols["has_media"][i] = media is not None
+                cols["media_ref"][i] = media or ""
+                cols["has_text2"][i] = len(texts) > 1
+                cols["text2"][i] = texts[1] if len(texts) > 1 else ""
+                cols["n_links"][i] = len(links)
+                for j, l in enumerate(links):
+                    cols[f"link{j}"][i] = l
+                bodies[i] = html
+            out = pdf[
+                ["url", "url_hash", "host", "priority", "depth",
+                 "retry_count", "discovered_round"]
+            ].copy()
+            out["partition_id"] = np.int32(pid)
+            out["status"] = status
+            out["err_type"] = err
+            ok = err == 0
+            out["doc_id"] = np.where(ok, "doc:" + pdf["url"].astype(str), None)
+            for c, vals in cols.items():
+                out[c] = vals
+            for c in ("link0", "link1", "link2"):
+                out[c] = canon.canonicalize_series(
+                    pd.Series(out[c]), bases=pdf["url"].reset_index(drop=True)
+                ).astype(object)
+            if keep_body:
+                out["body"] = pd.array(
+                    [b if o else None for b, o in zip(bodies, ok)], dtype=object
+                )
+            yield out
+
+    return fetch_fn
+
+
 def make_http_fetch_fn(
     transport: Callable[..., tuple[int, str]] | None = None,
     timeout: float = 3.0,

@@ -177,3 +177,50 @@ def test_http_fetch_fn_pluggable_into_fetch_batch(spark):
     assert got["http://h0.example/p2"]["err_type"] == ERR_TIMEOUT
     assert got["http://h0.example/p3"]["err_type"] == ERR_UNKNOWN
     assert got["http://h0.example/p2"]["spans"] is None
+
+
+def test_browser_fetch_fn_renderer_pool_and_js_content(spark):
+    """S3 seam: the renderer-pool fetcher (a) pins one pool endpoint per
+    partition (deterministic affinity, like proxies), (b) parses the
+    RENDERED DOM — content a raw HTTP fetch would never see — into the
+    same span pipeline, (c) routes renderer failures to typed err rows."""
+    import pyspark.sql.functions as F
+
+    from spider_spark.fetch import _RAW_SCHEMA, _SPANS_EXPR, salted_repartition
+    from spider_spark.transport import TransportTimeout, make_browser_fetch_fn
+
+    def scripted_render(url, endpoint):
+        assert endpoint in ("cdp://r1:9222", "cdp://r2:9222")
+        if url.endswith("/p2"):
+            raise TransportTimeout("render deadline")
+        # JS-materialized content: the title exists only post-render
+        return 200, (
+            f"<html><title>rendered-by-{endpoint[-7]}1</title>"
+            "<p>hydrated text</p>"
+            "<a href='http://h0.example/next'>n</a></html>"
+        )
+
+    rows = [
+        ("http://h0.example/p1", 1, "h0.example", 0, 0, 0, 0),
+        ("http://h0.example/p2", 2, "h0.example", 0, 0, 0, 0),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "url string, url_hash long, host string, priority int, depth int, "
+        "retry_count int, discovered_round long",
+    )
+    fn = make_browser_fetch_fn(
+        scripted_render, renderer_pool=["cdp://r1:9222", "cdp://r2:9222"]
+    )
+    raw = salted_repartition(batch, 2, 2).mapInPandas(fn, _RAW_SCHEMA)
+    got = {r["url"]: r for r in raw.withColumn("spans", F.expr(_SPANS_EXPR)).collect()}
+    ok = got["http://h0.example/p1"]
+    assert ok["err_type"] == 0
+    kinds = [s["kind"] for s in ok["spans"]]
+    # anchor inner text is its own text span, so: title, p-text, a-text, link
+    assert kinds == ["title", "text", "text", "link"]
+    assert ok["spans"][0]["text"].startswith("rendered-by-")
+    assert [s["text"] for s in ok["spans"] if s["kind"] == "link"] == [
+        "http://h0.example/next"
+    ]
+    assert got["http://h0.example/p2"]["err_type"] == 2  # timeout -> retry route
