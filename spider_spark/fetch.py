@@ -165,9 +165,19 @@ def fetch_batch(
     salt: int = 8,
     keep_body: bool = False,
     proxies: list[str] | None = None,
+    fetch_fn=None,
 ) -> DataFrame:
+    """``fetch_fn``: a custom mapInPandas fetcher replacing the simnet
+    default — ``transport.make_http_fetch_fn`` (real-HTTP ladder) and
+    ``transport.make_browser_fetch_fn`` (renderer pool) are schema-
+    identical drop-ins.  The custom fn must emit ``_RAW_SCHEMA``
+    (+ ``body`` when ``keep_body``) and canonicalize outlinks in-worker
+    (one python stage per pipeline); everything downstream — JVM span
+    assembly, link extraction, dedup, MERGE-back — is fetcher-agnostic."""
     salted = salted_repartition(batch.select(*_PASSTHROUGH), num_partitions, salt)
     schema = _RAW_SCHEMA + (", body string" if keep_body else "")
-    raw = salted.mapInPandas(make_fetch_fn(n_hosts, page_space, keep_body, proxies), schema)
+    if fetch_fn is None:
+        fetch_fn = make_fetch_fn(n_hosts, page_space, keep_body, proxies)
+    raw = salted.mapInPandas(fetch_fn, schema)
     out_cols = [f.name for f in FETCH_RESULT.fields] + (["body"] if keep_body else [])
     return raw.withColumn("spans", F.expr(_SPANS_EXPR)).select(out_cols)

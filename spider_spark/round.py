@@ -64,6 +64,12 @@ class CrawlConfig:
     # keeping ≤ cap rows/slice, then exact-ranks the ≤ S·cap survivors.
     # Results-identical (parity-gated); None/1 keeps the single window.
     rank_salt: int | None = None
+    # pluggable transport (S1-real / S3): a mapInPandas fetcher built by
+    # transport.make_http_fetch_fn / make_browser_fetch_fn replaces the
+    # simnet default for the WHOLE crawl — same flat schema, so every
+    # downstream stage (span assembly, dedup, MERGE-back, resume) is
+    # unchanged.  Parity gates (refsim) only apply to the simnet default.
+    fetch_fn: object = None
     extra: dict = field(default_factory=dict)
 
 
@@ -124,6 +130,7 @@ def run_round(
         fetch.fetch_batch(
             batch, cfg.n_hosts, cfg.page_space, cfg.fetch_partitions, cfg.salt,
             keep_body=cfg.keep_raw_body, proxies=cfg.proxies,
+            fetch_fn=cfg.fetch_fn,
         ),
     )
 
