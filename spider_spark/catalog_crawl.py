@@ -879,3 +879,54 @@ def c16_cuckoo_dist_deletes(spark, sf_dir):
         ],
         "probe string, ok boolean",
     )
+
+
+@q(
+    "c17_foreign_sink_upsert",
+    # first-wins keyed upsert is exactly GROUP BY key + MIN(payload):
+    # the sink's job-level dedup picks the payload-minimal representative
+    # and the store's unique-key skip makes re-sends no-ops, so the
+    # operational store's final contents are SQL-expressible
+    """SELECT doc_id % 200 AS k, MIN(doc_id) AS first_doc
+       FROM documents WHERE doc_id < 1000 GROUP BY doc_id % 200""",
+)
+def c17_foreign_sink_upsert(spark, sf_dir):
+    """S5/S10 as a CONNECTOR (sinks.write_foreign): push 1000 doc rows
+    with colliding keys (doc_id % 200 — 5 contenders per key) through the
+    per-partition batched keyed-upsert sink into a real cross-process
+    unique-key store (O_EXCL file-per-key = the reference's INSERT IGNORE
+    race, db_config.py:16-61 / phone_book.py:219-221), then read the
+    store back and grade its contents against the first-wins SQL twin.
+    Exercises the executor-side client lifecycle, batching, job-level
+    dedup, and the idempotence accounting (written == distinct keys)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .sinks import FileBackedKeyStore, write_foreign
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_c17_sink_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    df = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .select(
+            (F.col("doc_id") % 200).alias("k"),
+            F.col("doc_id").alias("first_doc"),
+        )
+        .repartition(8)
+    )
+    n_written = write_foreign(
+        df, lambda pid: FileBackedKeyStore(root, "k"), key="k", batch_size=64
+    )
+    rows = [
+        (int(r["k"]), int(r["first_doc"]))
+        for r in FileBackedKeyStore(root, "k").read_all()
+    ]
+    if n_written != len(rows):
+        raise AssertionError(
+            f"sink accounting broken: reported {n_written}, stored {len(rows)}"
+        )
+    return spark.createDataFrame(rows, "k long, first_doc long")
