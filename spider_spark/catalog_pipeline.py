@@ -1392,3 +1392,109 @@ def s9_int8_quant(spark, sf_dir):
         F.array_min(qarr).alias("q_min"),
         F.array_max(qarr).alias("q_max"),
     )
+
+
+@q(
+    "d9_repeated_passages",
+    # exact cross-doc repeated-passage detection (Lee et al. exact-substring
+    # dedup at fixed 3-token granularity): stride-1 shingles via lead()
+    # windows, distinct per doc, passages held by >= 2 docs
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+                generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS i
+         FROM documents WHERE length(trim(text)) > 0),
+       sh AS (
+         SELECT doc_id,
+                tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS p
+         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+       per_doc AS (SELECT DISTINCT doc_id, p FROM sh WHERE p IS NOT NULL)
+       SELECT p AS passage, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+       FROM per_doc GROUP BY p HAVING COUNT(*) >= 2""",
+)
+def d9_repeated_passages(spark, sf_dir):
+    """Cross-document repeated-passage detection — the passage-level
+    sibling of d8's benchmark decontamination and the exact-substring
+    dedup LLM corpora run before training (memorization control): every
+    3-token stride-1 shingle, deduped within doc, grouped across docs;
+    passages appearing in >= 2 documents come back with their spread.
+    All-JVM (split + transform over sequence + explode, two partial-agg
+    shuffles).  At 100 TB: key the group-by on xxhash64(passage) (8-byte
+    shuffle keys, like d1) and keep the string only for the final
+    readback join; the shingle explode is map-side and never quadratic."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+        .filter(F.size("t") >= 3)
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t)-3),"
+                " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+            )
+        ).alias("p"),
+    )
+    return (
+        sh.distinct()
+        .groupBy(F.col("p").alias("passage"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@q(
+    "t14_repetition_quality",
+    # Gopher-rule repetition metrics, INTEGER-exact (no float fractions:
+    # a 1-ulp division diff would flip the hash — counts + an integer
+    # comparison express the same filter): per doc, total bigrams,
+    # duplicated bigrams, the top bigram's count, and the
+    # top-fraction > 20% flag as top*5 > total
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+                generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS i
+         FROM documents WHERE length(trim(text)) > 0),
+       bg AS (
+         SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS b
+         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+       cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bg WHERE b IS NOT NULL
+               GROUP BY doc_id, b)
+       SELECT doc_id, SUM(c) AS n_bigrams, SUM(c) - COUNT(*) AS n_dup_bigrams,
+              MAX(c) AS top_count,
+              (MAX(c) * 5 > SUM(c)) AS flagged
+       FROM cnt GROUP BY doc_id""",
+)
+def t14_repetition_quality(spark, sf_dir):
+    """Repetition-based quality filter (the Gopher/MassiveText rules:
+    docs dominated by a repeated n-gram are boilerplate/spam and get
+    dropped before training).  Per document: bigram total, duplicated
+    bigram count, the most frequent bigram's count, and the
+    top-2-gram-fraction > 0.2 flag — all integers/booleans so the twin
+    is hash-exact by construction.  All-JVM; the per-doc group-by
+    partial-aggregates map-side, and at 100 TB the doc_id grouping is
+    the same shuffle t1/t5 already pay (co-partitionable)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")
+        ).alias("b"),
+    )
+    cnt = bg.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        (F.sum("c") - F.count("*")).alias("n_dup_bigrams"),
+        F.max("c").alias("top_count"),
+        (F.max("c") * 5 > F.sum("c")).alias("flagged"),
+    )
