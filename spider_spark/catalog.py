@@ -693,9 +693,13 @@ GRADED_WINDOW = [
     # (r5: r2 credit-card parse out — r1/r7 keep the credit family; c14
     # in — column-stats manifest skipping on REAL store bytes, the entry
     # RAISES if the out-of-range member was not pruned)
+    # (r5 final: r7 credit-guarantee out — third credit-table parse, r1
+    # keeps the family; c17 in — the foreign operational-store sink
+    # (S5/S10 as CONNECTORS): write_foreign through a real cross-process
+    # O_EXCL unique-key store, read back, first-wins SQL twin)
     "r1_credit_query_parse", "c14_stats_skip_scan", "r3_phone_book_parse",
     "r4_operator_user_json", "r6_phone_attribution",
-    "r7_credit_guarantee_parse", "m8_jpeg_stats",
+    "c17_foreign_sink_upsert", "m8_jpeg_stats",
     # headline analytical queries
     "q3_top_orders", "q5_nation_revenue",
 ]
