@@ -1498,3 +1498,140 @@ def t14_repetition_quality(spark, sf_dir):
         F.max("c").alias("top_count"),
         (F.max("c") * 5 > F.sum("c")).alias("flagged"),
     )
+
+
+@q(
+    "s12_kmeans_assign",
+    # integer-exact nearest-centroid assignment: int8 quantization (the
+    # s9 invariant) makes the squared-L2 distances integers, so argmin +
+    # (dist, cid) tie-break reproduce exactly in both engines — no float
+    # summation order anywhere
+    """WITH qe AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(FLOOR(x *
+                    (127.0 / list_aggregate(list_transform(embedding, y -> abs(y)),
+                     'max')) + 0.5) AS INT)) AS q
+         FROM embeddings),
+       cent AS (SELECT vec_id AS cid, q AS cq FROM qe WHERE vec_id < 8),
+       d AS (SELECT e.vec_id, c.cid,
+                    CAST(list_sum(list_transform(list_zip(e.q, c.cq),
+                         p -> CAST(p[1]-p[2] AS BIGINT)*(p[1]-p[2]))) AS BIGINT) AS dist
+             FROM qe e CROSS JOIN cent c),
+       a AS (SELECT vec_id, cid, dist,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d)
+       SELECT vec_id, cid AS cluster, dist FROM a WHERE rn = 1""",
+)
+def s12_kmeans_assign(spark, sf_dir):
+    """Semantic clustering, the assignment half of k-means (one Lloyd
+    half-step) over int8-quantized embeddings: k=8 deterministic seed
+    centroids (lowest ids), integer squared-L2, argmin tie-broken on
+    centroid id — the clustering front half SemDeDup and
+    cluster-balanced training-mix pipelines run before pruning.
+    Plan shape: centroids broadcast (k rows, no big-side shuffle),
+    per-id window for the argmin.  At 100 TB: k ~ sqrt(N) k-means++
+    centroids slot into the same plan."""
+    from .functions.similarity import quantized_kmeans_assign
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    return quantized_kmeans_assign(e, k=8).select("vec_id", "cluster", "dist")
+
+
+@q(
+    "s13_semdedup_prune",
+    # SemDeDup with planted exact copies (+1e6 ids, the d2/d3/s5 trick):
+    # a copy quantizes identically -> distance 0 -> pruned by its
+    # original (keep-lowest-id); natural pairs start at ~90k integer
+    # sq-dist in this data so threshold 10000 isolates true dups, and
+    # the twin recomputes the identical integer pipeline either way
+    """WITH allv AS (
+         SELECT vec_id, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000, embedding FROM embeddings),
+       qe AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(FLOOR(x *
+                    (127.0 / list_aggregate(list_transform(embedding, y -> abs(y)),
+                     'max')) + 0.5) AS INT)) AS q
+         FROM allv),
+       cent AS (SELECT vec_id AS cid, q AS cq FROM qe WHERE vec_id < 8),
+       d AS (SELECT e.vec_id, e.q, c.cid,
+                    CAST(list_sum(list_transform(list_zip(e.q, c.cq),
+                         p -> CAST(p[1]-p[2] AS BIGINT)*(p[1]-p[2]))) AS BIGINT) AS dist
+             FROM qe e CROSS JOIN cent c),
+       a AS (SELECT vec_id, q, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d),
+       asg AS (SELECT vec_id, q, cid FROM a WHERE rn = 1),
+       dup AS (SELECT DISTINCT e1.vec_id AS v
+               FROM asg e1 JOIN asg e2
+                 ON e1.cid = e2.cid AND e2.vec_id < e1.vec_id
+               WHERE list_sum(list_transform(list_zip(e1.q, e2.q),
+                     p -> CAST(p[1]-p[2] AS BIGINT)*(p[1]-p[2]))) <= 10000)
+       SELECT a.vec_id, a.cid AS cluster, (dup.v IS NOT NULL) AS is_dup
+       FROM asg a LEFT JOIN dup ON dup.v = a.vec_id""",
+)
+def s13_semdedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): embedding-level semantic dedup —
+    cluster first (s12's integer assignment), then near-dup prune with
+    pairwise distances WITHIN clusters only, keep-lowest-id.  The
+    cluster equi-join is the whole point at scale: sum(|cluster|^2)
+    pairs instead of N^2, one shuffle on cluster id.  Planted exact
+    copies (+1e6) are the ground truth: every copy lands in its
+    original's cluster at distance 0 and is pruned; the integer
+    pipeline makes prune decisions reproducible across engines."""
+    from .functions.similarity import semdedup_prune
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    both = e.unionByName(
+        e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    return semdedup_prune(both, k=8, threshold=10_000)
+
+
+@q(
+    "t15_temperature_mix",
+    # temperature-based training-data mixing (alpha=0.5): per-lang keep
+    # rate r = sqrt(n/max_n), membership decided INTEGER-exactly —
+    # keep iff h^2 * max_n < n * 2^40 for the 20-bit md5 prefix h — so
+    # no float boundary can flip a doc between engines
+    """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+       mx AS (SELECT MAX(n) AS m FROM cnt),
+       k AS (SELECT d.lang, c.n,
+                    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5)
+                         AS BIGINT) AS h
+             FROM documents d JOIN cnt c USING (lang))
+       SELECT lang, MAX(n) AS n_total,
+              CAST(SUM(CASE WHEN h * h * (SELECT m FROM mx)
+                            < n * 1099511627776 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept
+       FROM k GROUP BY lang""",
+)
+def t15_temperature_mix(spark, sf_dir):
+    """Temperature-sampled data mixing (the multilingual-LM rebalance:
+    keep rate per stratum proportional to count^alpha, alpha=0.5, so
+    low-resource languages are upsampled relative to the head).  The
+    keep decision is integer-exact: h = 20-bit md5(doc_id) prefix, keep
+    iff h^2 * max_n < n_lang * 2^40  (equivalent to h/2^20 <
+    sqrt(n/max_n) with zero rounding — same no-RNG reproducibility as
+    t6/t8, and the same subset on any engine or cluster size).  Plan:
+    the 5-row lang-weight dim broadcasts; the predicate is codegen'd on
+    the scan.  At petabyte counts widen the comparison to decimal."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    cnt = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    cnt = cnt.crossJoin(F.broadcast(cnt.agg(F.max("n").alias("m"))))
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 5), 16, 10
+    ).cast("long")
+    j = docs.join(F.broadcast(cnt), "lang").withColumn("h", h)
+    keep = (F.col("h") * F.col("h") * F.col("m")) < (
+        F.col("n") * F.lit(1099511627776)
+    )
+    return j.groupBy("lang").agg(
+        F.max("n").alias("n_total"),
+        F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+    )

@@ -561,3 +561,99 @@ def ivf_topk(
     probe_cells = np.argsort(-(cents @ q))[:n_probe].tolist()
     cand = assigned.filter(F.col("ivf_cell").isin(probe_cells))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------
+# Semantic clustering + SemDeDup (integer-exact over int8 quantization)
+# ---------------------------------------------------------------------
+
+
+def int8_quantize_col(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: scale = 127/max|x|,
+    q = floor(x*scale + 0.5).  Both engines promote the float32 element
+    against the double scale identically and floor(x+0.5) sidesteps
+    HALF_UP/HALF_EVEN, so the integer codes are exact cross-engine
+    (the s9_int8_quant invariant, reused as a building block)."""
+    mx = F.array_max(F.transform(vec, lambda v: F.abs(v)))
+    sc = F.lit(127.0) / mx
+    return F.transform(
+        vec, lambda v: F.floor(v.cast("double") * sc + F.lit(0.5)).cast("int")
+    )
+
+
+def int_sqdist_col(a: Column, b: Column) -> Column:
+    """Integer squared L2 between two int arrays — order-independent and
+    engine-independent (no float summation), the distance kernel the
+    clustering/SemDeDup oracles compare exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y).cast("long") * (x - y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_kmeans_assign(
+    df: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid assignment (one Lloyd half-step) over
+    int8-quantized embeddings: centroids = the k lowest-id vectors (the
+    deterministic seed choice), distance = integer squared L2, argmin
+    tie-broken on centroid id.  Returns (id, q, cluster, dist).
+
+    Scale shape: the k centroids are a broadcast nested-loop join (k
+    rows — no shuffle of the big side), the argmin is a per-id window
+    (WindowGroupLimit, partial per partition).  At 100 TB pick
+    k ~ sqrt(N) and feed real k-means++ centroids; the assignment plan
+    is unchanged.  Replaces the reference's single-process dedup scan
+    (phone_book.py:107-110) with the SemDeDup front half."""
+    from pyspark.sql import Window
+
+    q = df.select(F.col(id_col), int8_quantize_col(F.col(vec_col)).alias("q"))
+    cent = (
+        q.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("cluster"), F.col("q").alias("cq"))
+    )
+    d = q.crossJoin(F.broadcast(cent)).select(
+        id_col, "q", "cluster", int_sqdist_col(F.col("q"), F.col("cq")).alias("dist")
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "cluster")
+    return (
+        d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    k: int = 8,
+    threshold: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embeddings, then find near-duplicate pairs WITHIN clusters only —
+    the cluster equi-join keeps the pair set at sum(|cluster|^2), never
+    the all-pairs N^2.  Keep-lowest-id semantics: a vector is pruned iff
+    a smaller-id vector in its cluster sits within `threshold` integer
+    squared-L2.  Returns per-vector (id, cluster, is_dup).
+
+    Scale: cluster count bounds the quadratic term (k ~ N/target_size);
+    the pair join shuffles once on cluster; the prune set dedups with a
+    distinct on 8-byte ids.  Exact integer distances make the output
+    reproducible across engines and cluster sizes."""
+    a = quantized_kmeans_assign(df, k, id_col, vec_col)
+    left = a.select(
+        F.col(id_col).alias("_v"), F.col("cluster").alias("_c"), F.col("q").alias("_q")
+    )
+    right = a.select(
+        F.col(id_col).alias("_v2"), F.col("cluster").alias("_c2"), F.col("q").alias("_q2")
+    )
+    dup = (
+        left.join(right, (left["_c"] == right["_c2"]) & (right["_v2"] < left["_v"]))
+        .filter(int_sqdist_col(F.col("_q"), F.col("_q2")) <= threshold)
+        .select(F.col("_v"))
+        .distinct()
+    )
+    return a.join(dup, a[id_col] == dup["_v"], "left").select(
+        id_col, "cluster", F.col("_v").isNotNull().alias("is_dup")
+    )
