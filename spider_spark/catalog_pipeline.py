@@ -1635,3 +1635,122 @@ def t15_temperature_mix(spark, sf_dir):
         F.max("n").alias("n_total"),
         F.sum(keep.cast("int")).cast("long").alias("n_kept"),
     )
+
+
+@q(
+    "s14_kmeans_update",
+    # Lloyd centroid update graded exactly: floor(sum/count) of integer
+    # codes is engine-exact (a rational p/q with q <= cluster size sits
+    # >= 1/q from any other integer — far above the division ulp)
+    """WITH qe AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(FLOOR(x *
+                    (127.0 / list_aggregate(list_transform(embedding, y -> abs(y)),
+                     'max')) + 0.5) AS INT)) AS q
+         FROM embeddings),
+       cent AS (SELECT vec_id AS cid, q AS cq FROM qe WHERE vec_id < 8),
+       d AS (SELECT e.vec_id, e.q, c.cid,
+                    CAST(list_sum(list_transform(list_zip(e.q, c.cq),
+                         p -> CAST(p[1]-p[2] AS BIGINT)*(p[1]-p[2]))) AS BIGINT) AS dist
+             FROM qe e CROSS JOIN cent c),
+       a AS (SELECT vec_id, q, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d),
+       asg AS (SELECT vec_id, q, cid FROM a WHERE rn = 1),
+       n AS (SELECT cid, COUNT(*) AS n_members FROM asg GROUP BY cid),
+       el AS (SELECT cid, generate_subscripts(q, 1) - 1 AS d, unnest(q) AS v FROM asg)
+       SELECT el.cid AS cluster, n.n_members, CAST(el.d AS INT) AS d,
+              CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / n.n_members) AS INT) AS c_val
+       FROM el JOIN n USING (cid)
+       GROUP BY el.cid, n.n_members, el.d""",
+)
+def s14_kmeans_update(spark, sf_dir):
+    """The centroid-update half of a Lloyd iteration (s12 is the assign
+    half — together they are one full k-means step, the training loop
+    IVF/SemDeDup clustering runs): new centroid = element-wise
+    floor(mean) of the member int8 codes, graded per dimension.
+    Scale shape: NO explode of the big side — dim independent sum()
+    aggregates partial-aggregate map-side and the shuffle carries k rows
+    of dim longs; the k x dim posexplode runs on the tiny result (the
+    DuckDB twin explodes because it has no map-side-combine concern)."""
+    from .functions.similarity import kmeans_update_step
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    return kmeans_update_step(e, k=8, dim=64)
+
+
+@q(
+    "t16_pii_scrub",
+    # construct->scrub identity: synthetic emails/phones injected from
+    # doc_id formulas (the r1-r6 pattern), scrubbed with character-class
+    # regexes that Java regex and RE2 evaluate identically (no \\d, no
+    # lookaround), graded on match counts AND the md5 of the scrubbed
+    # text — natural text contains no '@' or '+1-' (verified per-SF)
+    """WITH inj AS (
+         SELECT doc_id,
+                text || ' ' ||
+                repeat('contact user' || CAST(doc_id AS VARCHAR) || '@example.com ',
+                       CAST(doc_id % 3 AS INT)) ||
+                repeat('call +1-555-' || CAST(doc_id % 10000 AS VARCHAR) || ' ',
+                       CAST(doc_id % 2 AS INT)) AS t
+         FROM documents),
+       scrub AS (
+         SELECT doc_id,
+                len(regexp_extract_all(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS n_emails,
+                len(regexp_extract_all(t, '\\+1-555-[0-9][0-9]*')) AS n_phones,
+                regexp_replace(
+                  regexp_replace(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                    '<EMAIL>', 'g'),
+                  '\\+1-555-[0-9][0-9]*', '<TEL>', 'g') AS scrubbed
+         FROM inj)
+       SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+              CAST(n_phones AS INT) AS n_phones,
+              md5(scrubbed) AS scrub_md5
+       FROM scrub""",
+)
+def t16_pii_scrub(spark, sf_dir):
+    """PII scrubbing before training (emails + phone numbers masked,
+    with per-doc redaction counts for the audit trail).  Synthetic PII
+    is injected from doc_id formulas so the ground truth is analytic;
+    the scrubber itself is the real operator: JVM regexp_replace +
+    regexp_count, codegen'd, no python stage — at 100 TB this is a
+    projection on the scan.  Patterns stick to explicit character
+    classes (no \\d, no lookaround) so Java regex and RE2 agree, and
+    the md5 of the scrubbed text makes the grade byte-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    phone_re = "\\+1-555-[0-9][0-9]*"
+    t = F.concat(
+        F.col("text"),
+        F.lit(" "),
+        F.repeat(
+            F.concat(
+                F.lit("contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com "),
+            ),
+            (F.col("doc_id") % 3).cast("int"),
+        ),
+        F.repeat(
+            F.concat(
+                F.lit("call +1-555-"),
+                (F.col("doc_id") % 10000).cast("string"),
+                F.lit(" "),
+            ),
+            (F.col("doc_id") % 2).cast("int"),
+        ),
+    )
+    inj = docs.select("doc_id", t.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), email_re, "<EMAIL>"), phone_re, "<TEL>"
+    )
+    return inj.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(email_re)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(phone_re)).cast("int").alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("scrub_md5"),
+    )

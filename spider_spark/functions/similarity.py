@@ -629,6 +629,7 @@ def semdedup_prune(
     threshold: int = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embeddings, then find near-duplicate pairs WITHIN clusters only —
@@ -640,8 +641,15 @@ def semdedup_prune(
     Scale: cluster count bounds the quadratic term (k ~ N/target_size);
     the pair join shuffles once on cluster; the prune set dedups with a
     distinct on 8-byte ids.  Exact integer distances make the output
-    reproducible across engines and cluster sizes."""
+    reproducible across engines and cluster sizes.
+
+    `materialize` checkpoints the assignment (the d6 eager-localCheckpoint
+    pattern): the result is consumed three times (both pair-join sides +
+    the final flag join) and would otherwise recompute quantize+assign
+    three times — at 100 TB that is three full scans for one."""
     a = quantized_kmeans_assign(df, k, id_col, vec_col)
+    if materialize:
+        a = a.localCheckpoint(eager=True)
     left = a.select(
         F.col(id_col).alias("_v"), F.col("cluster").alias("_c"), F.col("q").alias("_q")
     )
@@ -656,4 +664,47 @@ def semdedup_prune(
     )
     return a.join(dup, a[id_col] == dup["_v"], "left").select(
         id_col, "cluster", F.col("_v").isNotNull().alias("is_dup")
+    )
+
+
+def kmeans_update_step(
+    df: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One full Lloyd iteration's centroid UPDATE over the integer
+    assignment: new centroid = element-wise floor(mean) of the member
+    code vectors.  Returns (cluster, n_members, d, c_val) — one row per
+    centroid dimension.
+
+    Integer-exactness: the mean's numerator/denominator are exact
+    integers; floor(sum/count) in double is safe because a rational p/q
+    with q <= |cluster| sits at least 1/q from any non-equal integer —
+    13 orders of magnitude above the division's ulp — so both engines
+    floor to the same value.
+
+    Scale shape: NO explode of the big side — the per-dimension sums
+    are `dim` independent sum() aggregates over element_at, so the
+    group-by partial-aggregates map-side and the shuffle carries k rows
+    of dim longs; the k x dim posexplode happens on the tiny result."""
+    a = quantized_kmeans_assign(df, k, id_col, vec_col)
+    sums = a.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        *[F.sum(F.element_at("q", i + 1)).alias(f"_s{i}") for i in range(dim)],
+    )
+    return sums.select(
+        "cluster",
+        "n_members",
+        F.posexplode(
+            F.array(
+                *[
+                    F.floor(F.col(f"_s{i}").cast("double") / F.col("n_members")).cast(
+                        "int"
+                    )
+                    for i in range(dim)
+                ]
+            )
+        ).alias("d", "c_val"),
     )

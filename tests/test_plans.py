@@ -267,3 +267,87 @@ def test_packing_plans_are_single_shuffle(spark):
         plan = _plan(QUERIES[name](spark, "/root/testdata/sf0.001"), mode="simple")
         n = plan.count("Exchange hashpartitioning")
         assert n == 1, f"{name}: expected 1 exchange, got {n}\n{plan}"
+
+
+def test_s12_assignment_plan_broadcasts_centroids(spark):
+    """s12: centroid assignment must broadcast the k-row centroid side
+    (BroadcastNestedLoopJoin is correct here — the join has no equi key
+    and the broadcast side is k rows) and the per-id argmin must be a
+    WindowGroupLimit pushed below the exchange, so each task keeps one
+    row per id before shuffling.  No shuffle of the big side except the
+    final per-id exchange."""
+    import re
+
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["s12_kmeans_assign"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, "one per-id exchange only"
+
+
+def test_s13_semdedup_pair_join_is_equi_on_cluster(spark):
+    """s13: the within-cluster pair join must be a shuffled EQUI join on
+    the cluster id (the SemDeDup point — sum(|cluster|^2), never an
+    all-pairs cartesian), and the assignment must be materialized (a
+    checkpoint scan), not recomputed per consumer: without it the
+    quantize+assign subtree would run three times."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["s13_semdedup_prune"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # materialized assignment: the plan reads the checkpoint RDD, and the
+    # assignment window appears ZERO times (it ran in the checkpoint job)
+    assert "Scan ExistingRDD" in plan
+    assert "WindowGroupLimit" not in plan
+
+
+def test_t15_mix_weights_are_broadcast(spark):
+    """t15: the per-lang weight dim joins the fact side as a broadcast
+    hash join (5 rows); the keep predicate is integer arithmetic in the
+    projection — no python stage anywhere."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["t15_temperature_mix"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_s14_centroid_update_explodes_after_aggregation(spark):
+    """s14: the per-dimension sums must partial-aggregate map-side (dim
+    independent sum() columns — no explode of the big side); the
+    posexplode Generate runs on the k-row aggregate result, i.e. AFTER
+    the final HashAggregate in execution order."""
+    import re
+
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["s14_kmeans_update"](spark, SF_DIR))
+    ops = [
+        (int(m.group(1)), m.group(2))
+        for m in re.finditer(r"\((\d+)\) (\w+)", plan)
+    ]
+    gen = [i for i, name in ops if name == "Generate"]
+    aggs = [i for i, name in ops if name == "HashAggregate"]
+    assert gen and aggs and min(gen) > max(aggs), (
+        "posexplode must run on the aggregated k-row result, not the big side"
+    )
+    assert len(aggs) == 2, "partial + final aggregate (map-side combine)"
+
+
+def test_t16_scrub_is_single_codegen_projection(spark):
+    """t16: inject + scrub + count + md5 is ONE whole-stage-codegen
+    projection on the scan — no exchange, no join, no python stage;
+    at 100 TB this runs at scan speed."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["t16_pii_scrub"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "WholeStageCodegen" in _plan(
+        QUERIES["t16_pii_scrub"](spark, SF_DIR), mode="simple"
+    ) or "codegen" in plan

@@ -296,3 +296,51 @@ def test_batch_pq_matches_per_query_loop(spark, emb):
         ]
         assert got[r["query_id"]] == loop, f"query {r['query_id']} diverged"
     index.unpersist()
+
+
+def test_semdedup_prunes_exactly_the_planted_copies(emb):
+    """Planted ground truth for semdedup_prune: an exact copy quantizes
+    to the identical int8 code vector, assigns to the same cluster
+    (identical distances, same tie-break), sits at integer distance 0,
+    and is pruned by its lower-id original — while no natural pair in
+    this data falls under the threshold (min nonzero within-cluster
+    sq-dist ≈ 1.1e5 >> 1e4), so the pruned set is EXACTLY the planted
+    ids."""
+    from spider_spark.functions.similarity import semdedup_prune
+
+    e = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    both = e.unionByName(
+        e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    out = semdedup_prune(both, k=8, threshold=10_000)
+    pruned = {r["vec_id"] for r in out.filter("is_dup").collect()}
+    planted = {r["vec_id"] + 1_000_000 for r in e.collect()}
+    assert pruned == planted
+    # copies land in their original's cluster
+    pairs = (
+        out.alias("a")
+        .join(out.alias("b"), F.col("a.vec_id") + 1_000_000 == F.col("b.vec_id"))
+        .filter(F.col("a.cluster") != F.col("b.cluster"))
+        .count()
+    )
+    assert pairs == 0
+
+
+def test_kmeans_assign_distance_is_true_argmin(emb):
+    """quantized_kmeans_assign returns, for every vector, the MINIMUM
+    integer distance over all k centroids (cross-checked in numpy)."""
+    import numpy as np
+
+    from spider_spark.functions.similarity import quantized_kmeans_assign
+
+    e = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    got = {r["vec_id"]: (r["cluster"], r["dist"]) for r in quantized_kmeans_assign(e, k=8).collect()}
+    rows = sorted(e.collect(), key=lambda r: r["vec_id"])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = np.floor(m * (127.0 / np.abs(m).max(axis=1, keepdims=True)) + 0.5).astype(np.int64)
+    cents = q[:8]
+    for i, r in enumerate(rows):
+        d = ((q[i] - cents) ** 2).sum(axis=1)
+        cl, dist = got[r["vec_id"]]
+        assert dist == d.min()
+        assert cl == int(np.lexsort((np.arange(8), d))[0])
