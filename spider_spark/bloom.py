@@ -266,7 +266,9 @@ class DistributedBloom:
 
             merged = new.join(old, "shard", "left").select(
                 "shard", or_bytes("bits", "_old").alias("bits")
-            )
+            ).localCheckpoint(eager=True)  # merge_upsert consumes its
+            # input twice; pin the touched-shard rows so the delta-bitmap
+            # python stage and the OR merge run once (see cuckoo._apply)
             self.store.merge_upsert(self.TABLE, merged, key="shard")
         self.count += delta.count()
 

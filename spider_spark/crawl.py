@@ -43,9 +43,11 @@ class Crawler:
         if self.cfg.filter_kind == "cuckoo-dist":
             from .cuckoo import DistributedCuckoo
 
-            # buckets split across shards so total capacity matches the
-            # driver-resident form (both counts are powers of two)
-            per_shard = max(64, self.cfg.cuckoo_buckets // self.cfg.bloom_shards)
+            # capacity provisioned for the key budget (cuckoo_dist_buckets,
+            # the bloom_bits analog), split across shards — NOT the
+            # driver-resident total: a dist cuckoo sized like the broadcast
+            # one saturates (95%+ fill) within a round at bench scale
+            per_shard = max(64, self.cfg.cuckoo_dist_buckets // self.cfg.bloom_shards)
             return DistributedCuckoo(
                 self.spark, self.store, self.cfg.bloom_shards, per_shard
             )

@@ -37,6 +37,14 @@ class CrawlConfig:
     # default) or "cuckoo" (deletable, syncs with S9 delete-resolved)
     filter_kind: str = "bloom"
     cuckoo_buckets: int = 1 << 18
+    # capacity for the STORE-BACKED cuckoo ("cuckoo-dist"): total buckets
+    # across shards.  Sized like bloom_bits — for the key budget, not the
+    # driver heap (the dist form exists to be big).  A cuckoo past ~85%
+    # fill thrashes its kicking loop and saturated shards fail safe to
+    # "maybe"-everything, gutting the prefilter (measured r5: 1<<18 hit
+    # 95.6% fill + 4.1k drops on a 1M-key round wave).  1<<21 buckets =
+    # 8.4M slots / 16.8 MB — the bloom-dist footprint, 12% load at 1M.
+    cuckoo_dist_buckets: int = 1 << 21
     # link canonicalization happens inside the fetch stage (fetch.py) —
     # kept as a flag only to document the contract
     canonicalize_links: bool = True
