@@ -678,7 +678,12 @@ GRADED_WINDOW = [
     # (r4 final: d4 n-gram-Jaccard verify out — the pairwise-verify shape
     # is inside d2's banded pipeline; d8 benchmark decontamination in —
     # the corpus-hygiene op; d4 stays oracle-gated in the tail)
-    "d8_decontaminate", "d5_embedding_near_dup",
+    # (r5 final: d5 hyperplane-blocked embedding near-dup out — s13
+    # SemDeDup in, the stronger member of the same family: integer-exact
+    # cluster-then-prune with planted-copy ground truth, checkpointed
+    # assignment, equi pair join plan-gated; d5 stays oracle-gated in
+    # the tail)
+    "d8_decontaminate", "s13_semdedup_prune",
     # similarity / media (r4: +s5 multi-probe ANN planted recall,
     # +m2 real-PNG decode->binarize — both formerly rows-only families;
     # r5: s8 PQ recall out (stays oracle-gated in the tail), s10 in —
