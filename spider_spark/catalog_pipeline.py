@@ -1754,3 +1754,64 @@ def t16_pii_scrub(spark, sf_dir):
         F.regexp_count(F.col("t"), F.lit(phone_re)).cast("int").alias("n_phones"),
         F.md5(scrubbed.cast("binary")).alias("scrub_md5"),
     )
+
+
+@q(
+    "m9_phash_near_dup",
+    # planted ground truth: even doc_ids get a +1-brightness twin at
+    # id+1e6 (same pixels shifted uniformly; PNG bytes DIFFER so an exact
+    # byte hash misses the pair), odd doc_ids get an unrelated image at
+    # the same offset.  average_hash_rgba is integer-floor arithmetic, so
+    # a uniform shift moves gray/blocks/ref by exactly +1 and every bit
+    # comparison — ties included — is invariant: the twin's aHash is
+    # bit-identical and the pair list is exactly the even ids
+    """SELECT CAST(doc_id AS BIGINT) AS id_a,
+              CAST(doc_id + 1000000 AS BIGINT) AS id_b
+       FROM documents WHERE doc_id < 300 AND doc_id % 2 = 0""",
+)
+def m9_phash_near_dup(spark, sf_dir):
+    """Perceptual (average-hash) image dedup over REAL PNG bytes — the
+    image-side analog of the d2 text MinHash tier: decode through the
+    dependency-free codec, 64-bit integer aHash in the same python stage,
+    then a pure-JVM groupBy-hash window to emit (canonical, dup) pairs.
+    Catches brightness/re-encode near-duplicates that the byte-level
+    content hash (reference's media store key, share_func.py download
+    path) cannot.  Restricted to the planted offset like d2/d5 so the
+    result is deterministic ground truth; at scale the same plan is one
+    exchange on the 64-bit hash."""
+    from .functions.multimodal import average_hash_media, synth_shifted_png_media
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    base = d.select(
+        F.col("doc_id").alias("img_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(0).alias("shift"),
+    )
+    twin = d.select(
+        (F.col("doc_id") + 1_000_000).alias("img_id"),
+        # even ids: a true brightness twin of the base image;
+        # odd ids: an unrelated image (disjoint seed range) so the
+        # planted-offset filter is a real discrimination test
+        F.when(F.col("doc_id") % 2 == 0, F.col("doc_id"))
+        .otherwise(F.col("doc_id") + 500_000)
+        .alias("seed"),
+        F.lit(1).alias("shift"),
+    )
+    refs = base.unionByName(twin).select(
+        F.col("img_id").cast("string").alias("media_ref"), "seed", "shift"
+    )
+    media = synth_shifted_png_media(refs).repartition(8)
+    ah = average_hash_media(media, strict=True).select(
+        F.col("media_ref").cast("long").alias("img_id"), "ahash"
+    )
+    w = Window.partitionBy("ahash")
+    pairs = (
+        ah.withColumn("id_a", F.min("img_id").over(w))
+        .filter(F.col("img_id") > F.col("id_a"))
+        .select("id_a", F.col("img_id").alias("id_b"))
+    )
+    return pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000)

@@ -739,3 +739,124 @@ def frame_sample(media: DataFrame, every_k: int = 10) -> DataFrame:
             )
 
     return media.select("media_ref", "content", "media_kind").mapInPandas(fn, out_schema)
+
+
+def synth_shifted_png_media(refs: DataFrame) -> DataFrame:
+    """REAL-PNG media store for the perceptual-hash family: deterministic
+    RGBA pixels from (seed, shift), encoded through the real codec.  The
+    channel formulas are bounded to 254 so a uniform +shift (shift in
+    {0, 1}) NEVER wraps — a shifted image is a true brightness variant
+    whose bytes differ but whose average-hash is bit-identical (see
+    average_hash_rgba: every integer floor shifts by exactly +shift, so
+    the > comparisons are invariant, ties included):
+
+      w = 16 + seed % 17,  h = 16 + seed % 13,  i = row-major pixel index
+      R = (7*seed + 13*i)  % 255 + shift
+      G = (11*seed + 29*i) % 255 + shift
+      B = (3*i + seed)     % 200 + shift
+      A = 255
+
+    Input: (media_ref string, seed long, shift int).  Output matches
+    synth_media_table: (media_ref, content, media_kind, n_bytes)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_refs, blobs, nbytes = [], [], []
+            for ref, seed, shift in zip(pdf["media_ref"], pdf["seed"], pdf["shift"]):
+                s, sh = int(seed), int(shift)
+                w, h = 16 + s % 17, 16 + s % 13
+                i = np.arange(w * h, dtype=np.int64)
+                px = np.empty((h, w, 4), dtype=np.uint8)
+                px[..., 0] = ((7 * s + 13 * i) % 255 + sh).reshape(h, w)
+                px[..., 1] = ((11 * s + 29 * i) % 255 + sh).reshape(h, w)
+                px[..., 2] = ((3 * i + s) % 200 + sh).reshape(h, w)
+                px[..., 3] = 255
+                data = png.encode_png(px, filter_type=s % 5)
+                out_refs.append(ref)
+                blobs.append(data)
+                nbytes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "media_ref": out_refs,
+                    "content": blobs,
+                    "media_kind": ["image"] * len(out_refs),
+                    "n_bytes": np.array(nbytes, dtype=np.int32),
+                }
+            )
+
+    return refs.select(
+        "media_ref",
+        F.col("seed").cast("long").alias("seed"),
+        F.col("shift").cast("int").alias("shift"),
+    ).mapInPandas(fn, MEDIA)
+
+
+def average_hash_rgba(px: np.ndarray) -> int:
+    """64-bit average hash (aHash) of an (h, w, 4) uint8 RGBA array, all
+    integer arithmetic so the hash is engine- and platform-exact:
+
+      gray      = (R + 2G + B) // 4                    (int luma)
+      block[y,x]= floor(mean(gray over the 8x8 grid cell))  (floor division)
+      ref       = floor(mean of the 64 block values)
+      bit[y,x]  = block[y,x] > ref                     (row-major, MSB first)
+
+    Invariance contract (what makes brightness twins dedup-able): adding
+    a uniform +c to every channel adds exactly +c to gray, each block
+    floor, and ref — floor((s + c*n)/n) == floor(s/n) + c — so every
+    comparison, ties included, is unchanged and the hash is identical."""
+    h, w = px.shape[0], px.shape[1]
+    if h < 8 or w < 8:
+        raise ValueError(f"average_hash_rgba needs >= 8x8 pixels, got {h}x{w}")
+    gray = (
+        px[..., 0].astype(np.int64) + 2 * px[..., 1].astype(np.int64) + px[..., 2]
+    ) // 4
+    ys = [y * h // 8 for y in range(9)]
+    xs = [x * w // 8 for x in range(9)]
+    blocks = np.empty((8, 8), dtype=np.int64)
+    for by in range(8):
+        for bx in range(8):
+            blk = gray[ys[by] : ys[by + 1], xs[bx] : xs[bx + 1]]
+            blocks[by, bx] = int(blk.sum()) // blk.size
+    ref = int(blocks.sum()) // 64
+    val = 0
+    for bit in (blocks > ref).flatten():
+        val = (val << 1) | int(bit)
+    return val
+
+
+def average_hash_media(media: DataFrame, strict: bool = True) -> DataFrame:
+    """mapInPandas perceptual hashing over binary image columns: decode
+    the blob (REAL decode for PNG/JPEG), compute the integer-exact 64-bit
+    average hash, emit it as a 16-hex-char string (no int64 sign games).
+    Group-by this column to find brightness/re-encode near-duplicates
+    that an exact byte hash misses — the image-side analog of the text
+    MinHash tier (reference stores media by content hash only,
+    share_func.py download path)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("ahash", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, widths, heights, hashes = [], [], [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                px, _real = _decode_rgba(content, strict)
+                refs.append(ref)
+                heights.append(px.shape[0])
+                widths.append(px.shape[1])
+                hashes.append(f"{average_hash_rgba(px):016x}")
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "width": np.array(widths, dtype=np.int32),
+                    "height": np.array(heights, dtype=np.int32),
+                    "ahash": hashes,
+                }
+            )
+
+    return media.select("media_ref", "content").mapInPandas(fn, out_schema)

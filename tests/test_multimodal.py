@@ -209,3 +209,86 @@ def test_wav_stats_real_decode(spark):
     )
     with pytest.raises(Exception):  # NotImplementedError inside the worker
         wav_stats(fake, strict=True).collect()
+
+
+def test_average_hash_brightness_invariance_and_discrimination():
+    """The aHash contract behind m9_phash_near_dup: a uniform +c shift
+    (no wrap) leaves the 64-bit hash bit-identical — every integer floor
+    (gray, block means, reference mean) moves by exactly +c so all
+    comparisons, ties included, are unchanged — while the PNG byte
+    streams differ (an exact byte hash misses the pair).  Unrelated
+    images must not collide at the planted offset."""
+    import numpy as np
+
+    from spider_spark.functions import png
+    from spider_spark.functions.multimodal import average_hash_rgba
+
+    def img(s, sh):
+        w, h = 16 + s % 17, 16 + s % 13
+        i = np.arange(w * h, dtype=np.int64)
+        px = np.empty((h, w, 4), dtype=np.uint8)
+        px[..., 0] = ((7 * s + 13 * i) % 255 + sh).reshape(h, w)
+        px[..., 1] = ((11 * s + 29 * i) % 255 + sh).reshape(h, w)
+        px[..., 2] = ((3 * i + s) % 200 + sh).reshape(h, w)
+        px[..., 3] = 255
+        return px
+
+    for s in range(0, 120):
+        assert average_hash_rgba(img(s, 0)) == average_hash_rgba(img(s, 1))
+    assert png.encode_png(img(4, 0)) != png.encode_png(img(4, 1))
+    # odd ids pair with an UNRELATED seed in m9 — those must discriminate
+    for s in range(1, 120, 2):
+        assert average_hash_rgba(img(s, 0)) != average_hash_rgba(img(s + 500_000, 1))
+
+
+def test_average_hash_random_uniform_shift_invariance():
+    """Property form on random images: any uniform shift that stays in
+    range is hash-invariant; hash fits in 64 bits."""
+    import numpy as np
+
+    from spider_spark.functions.multimodal import average_hash_rgba
+
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+        h, w = rng.randint(8, 40), rng.randint(8, 40)
+        px = rng.randint(0, 200, size=(h, w, 4), dtype=np.uint8)
+        px[..., 3] = 255
+        c = rng.randint(1, 55)
+        shifted = px.copy()
+        shifted[..., :3] += np.uint8(c)
+        a, b = average_hash_rgba(px), average_hash_rgba(shifted)
+        assert a == b
+        assert 0 <= a < (1 << 64)
+
+
+def test_average_hash_media_real_decode_roundtrip(spark):
+    """average_hash_media over real PNG bytes equals the pure-array hash
+    computed driver-side on the same pixels (codec roundtrip lossless)."""
+    import numpy as np
+
+    from spider_spark.functions.multimodal import (
+        average_hash_media,
+        average_hash_rgba,
+        synth_shifted_png_media,
+    )
+
+    refs = spark.createDataFrame(
+        [(str(s), s, s % 2) for s in range(12)], "media_ref string, seed long, shift int"
+    )
+    got = {
+        r["media_ref"]: r["ahash"]
+        for r in average_hash_media(synth_shifted_png_media(refs)).collect()
+    }
+
+    def img(s, sh):
+        w, h = 16 + s % 17, 16 + s % 13
+        i = np.arange(w * h, dtype=np.int64)
+        px = np.empty((h, w, 4), dtype=np.uint8)
+        px[..., 0] = ((7 * s + 13 * i) % 255 + sh).reshape(h, w)
+        px[..., 1] = ((11 * s + 29 * i) % 255 + sh).reshape(h, w)
+        px[..., 2] = ((3 * i + s) % 200 + sh).reshape(h, w)
+        px[..., 3] = 255
+        return px
+
+    for s in range(12):
+        assert got[str(s)] == f"{average_hash_rgba(img(s, s % 2)):016x}"

@@ -351,3 +351,19 @@ def test_t16_scrub_is_single_codegen_projection(spark):
     assert "WholeStageCodegen" in _plan(
         QUERIES["t16_pii_scrub"](spark, SF_DIR), mode="simple"
     ) or "codegen" in plan
+
+
+def test_m9_phash_pairs_single_hash_exchange_no_join(spark):
+    """m9: after the python decode+hash stage, pair emission is ONE hash
+    exchange on the 64-bit ahash (window min — no self-join, no
+    cartesian); the two python stages (synth encode, decode+hash) are
+    separated by the repartition exchange (one python worker per task)."""
+    import re
+
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["m9_phash_near_dup"](spark, SF_DIR))
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1
+    assert "hashpartitioning(ahash" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Join" not in plan
