@@ -1815,3 +1815,60 @@ def m9_phash_near_dup(spark, sf_dir):
         .select("id_a", F.col("img_id").alias("id_b"))
     )
     return pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000)
+
+
+@q(
+    "d10_containment_dedup",
+    # planted ground truth: every doc with >= 16 tokens gets a TRUNCATED
+    # twin (its first half, id+1e6) — low Jaccard vs the base (a half
+    # shares ~1/2 the shingles) but containment exactly 1.0 by
+    # construction; both engines recompute the twin's distinct-shingle
+    # count (repeated passages make it != halflen-7 for some docs, so a
+    # closed-form count would be wrong — the d8 oracle precedent)
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                     FROM documents),
+       half AS (SELECT doc_id, t[1:len(t)//2] AS h
+                FROM toks WHERE len(t)//2 >= 8),
+       sh AS (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(h) - 7),
+                                           i -> array_to_string(h[i:i+7], ' '))) AS shingle
+              FROM half)
+       SELECT CAST(doc_id AS BIGINT) AS id_a,
+              CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+              CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_shingles
+       FROM sh GROUP BY doc_id""",
+)
+def d10_containment_dedup(spark, sf_dir):
+    """Asymmetric containment dedup (functions/dedup.containment_pairs):
+    a truncated/boilerplate-wrapped copy has LOW Jaccard similarity —
+    the d2 MinHash tier scores a half-doc ~0.5 and drops it — but
+    containment |sh(a) ∩ sh(b)| / |sh(a)| exactly 1.0.  Planted
+    truncated twins (first half of every >= 16-token doc) must each be
+    recovered with the engine-exact INTEGER predicate
+    n_match == n_shingles; restricted to the planted offset like d2/d5
+    so natural containments don't make the result corpus-dependent."""
+    from .functions.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("t"),
+    )
+    halves = toks.filter((F.size("t") / 2).cast("int") >= 8).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice("t", 1, (F.size("t") / 2).cast("int"))).alias("text"),
+    )
+    pairs = containment_pairs(halves, docs, k=8)
+    return (
+        pairs.filter(
+            (F.col("n_match") == F.col("n_shingles"))
+            & (F.col("id_contained") - F.col("id_container") == 1_000_000)
+        )
+        .select(
+            F.col("id_container").alias("id_a"),
+            F.col("id_contained").alias("id_b"),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+        )
+    )

@@ -239,3 +239,53 @@ def test_star_cc_matches_union_find_and_is_logarithmic(spark):
     }
     assert got == expected
     assert stats["rounds"] <= 12, f"chain took {stats['rounds']} rounds"
+
+
+def test_containment_pairs_full_vs_partial(spark):
+    """containment_pairs semantics: a truncated copy scores containment
+    1.0 (n_match == n_shingles) even though its Jaccard vs the source is
+    ~0.5 (the mode the MinHash tier misses); a half-overlapping doc
+    scores partial; unrelated docs never pair (no shared shingle)."""
+    from spider_spark.functions.dedup import containment_pairs
+
+    base_tokens = [f"w{i}" for i in range(30)]
+    corpus = spark.createDataFrame(
+        [(1, " ".join(base_tokens)), (2, " ".join(f"z{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    # 100: first 15 tokens of doc 1 (fully contained, 8 distinct 8-grams)
+    # 200: 10 tokens of doc 1 + 10 novel (partial: 3 of 13 shingles match)
+    # 300: unrelated
+    queries = spark.createDataFrame(
+        [
+            (100, " ".join(base_tokens[:15])),
+            (200, " ".join(base_tokens[:10] + [f"q{i}" for i in range(10)])),
+            (300, " ".join(f"y{i}" for i in range(12))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["id_contained"], r["id_container"]): (r["n_shingles"], r["n_match"])
+        for r in containment_pairs(queries, corpus, k=8).collect()
+    }
+    assert rows[(100, 1)] == (8, 8)       # full containment: 15-7 shingles, all match
+    n_sh, n_match = rows[(200, 1)]
+    assert n_sh == 13 and n_match == 3    # only the 3 all-base 8-grams match
+    assert not any(cid == 300 for cid, _ in rows)
+    assert not any(cont == 2 for _, cont in rows)
+
+
+def test_containment_full_pairs_invisible_to_minhash_threshold(spark):
+    """The justification for the containment tier: the SAME planted
+    half-doc pair that d10 recovers at containment 1.0 sits near Jaccard
+    0.5 and is dropped by the minhash tier's 0.8 threshold."""
+    from spider_spark.functions.dedup import jaccard_verify
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    half = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, base), (2, half)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    j = jaccard_verify(docs, cand, threshold=0.0).collect()[0]["jaccard"]
+    assert j < 0.8, f"half-doc Jaccard {j} should sit below the near-dup threshold"
