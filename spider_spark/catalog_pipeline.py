@@ -1872,3 +1872,71 @@ def d10_containment_dedup(spark, sf_dir):
             F.col("n_shingles").cast("long").alias("n_shingles"),
         )
     )
+
+
+@q(
+    "t17_c4_line_filters",
+    # construct -> filter identity (the t16 pattern): lines are injected
+    # from doc_id formulas — line j of doc d has 2+(d+j)%4 words, a
+    # ' javascript' poison word iff (d+j)%7==0, a terminal '.' iff
+    # (d+j)%3!=0 — so the C4 keep rule (>=3 words AND ends '.' AND no
+    # 'javascript') is exactly re-derivable; kept text is md5-graded
+    """WITH built AS (
+         SELECT doc_id,
+                list_transform(generate_series(0, CAST(doc_id % 5 AS INT)),
+                  j -> array_to_string(
+                         list_transform(generate_series(1, CAST(2 + (doc_id + j) % 4 AS INT)),
+                                        x -> 'tok'), ' ')
+                       || CASE WHEN (doc_id + j) % 7 = 0 THEN ' javascript' ELSE '' END
+                       || CASE WHEN (doc_id + j) % 3 <> 0 THEN '.' ELSE '' END
+                ) AS lines
+         FROM documents),
+       f AS (SELECT doc_id, lines,
+                    list_filter(lines,
+                      l -> len(string_split(l, ' ')) >= 3
+                           AND l LIKE '%.'
+                           AND l NOT LIKE '%javascript%') AS kept
+             FROM built)
+       SELECT doc_id,
+              CAST(len(lines) AS INT) AS n_lines,
+              CAST(len(kept) AS INT) AS n_kept,
+              md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_md5
+       FROM f""",
+)
+def t17_c4_line_filters(spark, sf_dir):
+    """C4/RefinedWeb-style line-level quality filtering — the corpus
+    hygiene pass between crawl and training: drop lines with < 3 words,
+    without terminal punctuation, or containing a boilerplate poison
+    token ('javascript').  The filter itself is one whole-stage-codegen
+    projection (split + higher-order filter + re-join + md5, no python,
+    no shuffle) — at 100 TB this runs at scan speed.  Lines are
+    deterministically injected (the corpus has no newlines) so both
+    engines re-derive the exact kept set; md5 grades the surviving
+    text, not just counts."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    lines = F.transform(
+        F.sequence(F.lit(0), (d % 5).cast("int")),
+        lambda j: F.concat(
+            F.array_join(
+                F.array_repeat(F.lit("tok"), (F.lit(2) + F.pmod(d + j, F.lit(4))).cast("int")),
+                " ",
+            ),
+            F.when(F.pmod(d + j, F.lit(7)) == 0, F.lit(" javascript")).otherwise(F.lit("")),
+            F.when(F.pmod(d + j, F.lit(3)) != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    built = docs.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    arr = F.split(F.col("text"), "\n")
+    kept = F.filter(
+        arr,
+        lambda l: (F.size(F.split(l, " ")) >= 3)
+        & l.endswith(".")
+        & ~l.contains("javascript"),
+    )
+    return built.select(
+        "doc_id",
+        F.size(arr).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.md5(F.concat_ws("\n", kept).cast("binary")).alias("kept_md5"),
+    )

@@ -367,3 +367,17 @@ def test_m9_phash_pairs_single_hash_exchange_no_join(spark):
     assert "hashpartitioning(ahash" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "Join" not in plan
+
+
+def test_t17_c4_filter_is_single_codegen_projection(spark):
+    """t17: construct + split + higher-order line filter + md5 is ONE
+    whole-stage-codegen projection on the scan — no exchange, no join,
+    no python stage; the C4 hygiene pass runs at scan speed at 100 TB."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["t17_c4_line_filters"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "WholeStageCodegen" in _plan(
+        QUERIES["t17_c4_line_filters"](spark, SF_DIR), mode="simple"
+    ) or "codegen" in plan
