@@ -440,3 +440,55 @@ def g1_pagerank3(spark, sf_dir):
     return ranks.select(
         F.col("v").alias("doc_id"), F.round(F.col("pr") * F.lit(n), 6).alias("score")
     )
+
+
+@q(
+    "w9_session_window",
+    # gaps-and-islands twin: a new session opens when the gap from the
+    # previous event is >= 30 min (Spark's half-open [start, last+gap)
+    # semantics — an event landing exactly AT the close boundary starts
+    # a NEW session, hence >= not >); session end = last event + gap
+    """WITH m AS (SELECT user_id, ts,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_s
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       s AS (SELECT user_id, ts,
+                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+             FROM m)
+       SELECT user_id,
+              epoch_us(MIN(ts)) AS session_start,
+              epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end,
+              COUNT(*) AS n_events
+       FROM s GROUP BY user_id, sid""",
+)
+def w9_session_window(spark, sf_dir):
+    """Sessionization via Spark's native session_window (dynamic-gap
+    merge — the operator behind per-user dwell analysis and the
+    politeness tier's host-quiet detection): events within 30 min of a
+    session's moving end merge; bounds + integer counts only (no float
+    aggregation, so the twin hashes exactly).  One exchange on user_id;
+    the gaps-and-islands SQL restatement needs two windows + a
+    re-aggregate — the Spark form is both terser AND cheaper.  Session
+    TZ pinned to UTC for the NTZ->epoch casts (j9/st1 pattern)."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = _t(spark, sf_dir, "events").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        out = (
+            ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_micros(F.col("w.start")).alias("session_start"),
+                F.unix_micros(F.col("w.end")).alias("session_end"),
+                F.col("n_events").cast("long").alias("n_events"),
+            )
+        )
+        return out
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)

@@ -381,3 +381,19 @@ def test_t17_c4_filter_is_single_codegen_projection(spark):
     assert "WholeStageCodegen" in _plan(
         QUERIES["t17_c4_line_filters"](spark, SF_DIR), mode="simple"
     ) or "codegen" in plan
+
+
+def test_w9_session_window_single_exchange_partial_agg(spark):
+    """w9: sessionization is ONE hash exchange on user_id with partial
+    aggregation below it (map-side session merge) — the SQL restatement
+    needs two windows + a re-aggregate; this plan scales as an ordinary
+    keyed agg at 100 TB."""
+    import re
+
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["w9_session_window"](spark, SF_DIR), mode="simple")
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "partial_count" in plan
+    assert plan.index("partial_count") > plan.index("Exchange")
