@@ -1940,3 +1940,58 @@ def t17_c4_line_filters(spark, sf_dir):
         F.size(kept).alias("n_kept"),
         F.md5(F.concat_ws("\n", kept).cast("binary")).alias("kept_md5"),
     )
+
+
+@q(
+    "m10_audio_sample_dedup",
+    # planted ground truth: even doc_ids get a RE-ENCODED twin at id+1e6
+    # (a LIST/INFO metadata chunk is inserted — container bytes differ,
+    # PCM samples are identical), odd doc_ids get unrelated audio at the
+    # same offset; n_samples is the synth formula, so the row also
+    # certifies the twin's real chunk-walk decode
+    """SELECT CAST(doc_id AS BIGINT) AS id_a,
+              CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+              CAST(500 + doc_id % 300 AS INT) AS n_samples
+       FROM documents WHERE doc_id < 300 AND doc_id % 2 = 0""",
+)
+def m10_audio_sample_dedup(spark, sf_dir):
+    """Sample-level audio dedup — the audio leg of the modality dedup
+    ladder (text d1-d10, image m9): decode REAL RIFF/WAVE bytes (chunk
+    walk skips the planted LIST/INFO tag spec-conformantly), fingerprint
+    the raw PCM, group-by-fingerprint via window min — one hash exchange,
+    no self-join.  A re-tagged copy has different bytes (the byte-level
+    media-store key misses it) but an identical fingerprint.  Restricted
+    to the planted offset like m9/d2 for deterministic ground truth."""
+    from .functions.multimodal import audio_fingerprint_media, synth_tagged_wav_media
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    base = d.select(
+        F.col("doc_id").alias("aud_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(0).alias("retag"),
+    )
+    twin = d.select(
+        (F.col("doc_id") + 1_000_000).alias("aud_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("doc_id"))
+        .otherwise(F.col("doc_id") + 500_000)
+        .alias("seed"),
+        F.lit(1).alias("retag"),
+    )
+    refs = base.unionByName(twin).select(
+        F.col("aud_id").cast("string").alias("media_ref"), "seed", "retag"
+    )
+    media = synth_tagged_wav_media(refs).repartition(8)
+    fp = audio_fingerprint_media(media, strict=True).select(
+        F.col("media_ref").cast("long").alias("aud_id"), "pcm_md5", "n_samples"
+    )
+    w = Window.partitionBy("pcm_md5")
+    pairs = (
+        fp.withColumn("id_a", F.min("aud_id").over(w))
+        .filter(F.col("aud_id") > F.col("id_a"))
+        .select("id_a", F.col("aud_id").alias("id_b"), "n_samples")
+    )
+    return pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000)

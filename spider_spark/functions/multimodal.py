@@ -860,3 +860,90 @@ def average_hash_media(media: DataFrame, strict: bool = True) -> DataFrame:
             )
 
     return media.select("media_ref", "content").mapInPandas(fn, out_schema)
+
+
+def synth_tagged_wav_media(refs: DataFrame) -> DataFrame:
+    """REAL-audio media store for the sample-dedup family: same integer
+    sample formulas as synth_wav_media, plus a ``retag`` column — retag=1
+    re-encodes with a LIST/INFO metadata chunk (comment length varies
+    with the seed so both word-alignment paths are exercised): the BYTES
+    differ, the PCM samples do not.  Input (media_ref, seed long,
+    retag int); output matches synth_media_table."""
+    from . import wav
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_refs, blobs, nbytes = [], [], []
+            for ref, seed, retag in zip(pdf["media_ref"], pdf["seed"], pdf["retag"]):
+                s = int(seed)
+                rate = 8000 + 100 * (s % 5)
+                n = 500 + s % 300
+                i = np.arange(n, dtype=np.int64)
+                samples = (((37 * s + 11 * i) % 2003) - 1001).astype(np.int16)
+                info = (b"c" * (1 + s % 3)) if int(retag) else None
+                data = wav.encode_wav(samples, rate, info=info)
+                out_refs.append(ref)
+                blobs.append(data)
+                nbytes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "media_ref": out_refs,
+                    "content": blobs,
+                    "media_kind": ["audio"] * len(out_refs),
+                    "n_bytes": np.array(nbytes, dtype=np.int32),
+                }
+            )
+
+    return refs.select(
+        "media_ref",
+        F.col("seed").cast("long").alias("seed"),
+        F.col("retag").cast("int").alias("retag"),
+    ).mapInPandas(fn, MEDIA)
+
+
+def audio_fingerprint_media(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Sample-level audio fingerprint in one python stage: REAL RIFF
+    chunk-walk decode (functions/wav.py), then md5 over (rate || raw PCM
+    bytes) — identical audio re-encoded with different container
+    metadata fingerprints identically, while the byte-level content hash
+    (the reference's media-store key) differs.  Group by the fingerprint
+    to dedup.  Output (media_ref, rate, n_samples, pcm_md5)."""
+    import hashlib
+
+    from . import wav
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("rate", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("pcm_md5", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, rates, counts, fps = [], [], [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                b = bytes(content or b"")
+                if not wav.is_wav(b):
+                    if strict:
+                        raise NotImplementedError("non-WAV audio decode not available")
+                    continue
+                rate, samples = wav.decode_wav(b)
+                refs.append(ref)
+                rates.append(rate)
+                counts.append(len(samples))
+                fps.append(
+                    hashlib.md5(str(rate).encode() + b"|" + samples.tobytes()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "rate": np.array(rates, dtype=np.int32),
+                    "n_samples": np.array(counts, dtype=np.int32),
+                    "pcm_md5": fps,
+                }
+            )
+
+    return media.select("media_ref", "content").mapInPandas(fn, out_schema)

@@ -22,8 +22,12 @@ def is_wav(data: bytes | None) -> bool:
     return bool(data) and len(data) >= 12 and data[:4] == WAV_MAGIC and data[8:12] == b"WAVE"
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
-    """Mono 16-bit PCM WAV from an int16 sample array."""
+def encode_wav(samples: np.ndarray, sample_rate: int, info: bytes | None = None) -> bytes:
+    """Mono 16-bit PCM WAV from an int16 sample array.  ``info`` inserts
+    a LIST/INFO metadata chunk between fmt and data (word-aligned, spec
+    layout) — the byte stream changes while the decoded samples do not,
+    which is exactly the re-encoded-copy case the m10 sample-level dedup
+    must catch and a byte-level content hash cannot."""
     pcm = np.asarray(samples, dtype="<i2").tobytes()
     n_channels, bits = 1, 16
     byte_rate = sample_rate * n_channels * bits // 8
@@ -31,8 +35,14 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     fmt = struct.pack(
         "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate, byte_rate, block_align, bits
     )
+    extra = b""
+    if info is not None:
+        payload = b"INFO" + info
+        extra = struct.pack("<4sI", b"LIST", len(payload)) + payload
+        if len(payload) & 1:
+            extra += b"\x00"  # chunks are word-aligned
     data = struct.pack("<4sI", b"data", len(pcm)) + pcm
-    body = b"WAVE" + fmt + data
+    body = b"WAVE" + fmt + extra + data
     return struct.pack("<4sI", b"RIFF", len(body)) + body
 
 

@@ -292,3 +292,49 @@ def test_average_hash_media_real_decode_roundtrip(spark):
 
     for s in range(12):
         assert got[str(s)] == f"{average_hash_rgba(img(s, s % 2)):016x}"
+
+
+def test_wav_info_chunk_roundtrip_bytes_differ_samples_equal():
+    """encode_wav(info=): the LIST/INFO metadata chunk changes the byte
+    stream (and its md5 — the media-store key) but the chunk-walking
+    decoder returns identical samples; both word-alignment paths (odd
+    and even payload length) roundtrip."""
+    import hashlib
+
+    import numpy as np
+
+    from spider_spark.functions import wav
+
+    samples = (np.arange(777) % 2003 - 1001).astype(np.int16)
+    plain = wav.encode_wav(samples, 8000)
+    for info in (b"c", b"cc", b"ccc"):  # odd/even payloads -> both pads
+        tagged = wav.encode_wav(samples, 8000, info=info)
+        assert tagged != plain
+        assert hashlib.md5(tagged).hexdigest() != hashlib.md5(plain).hexdigest()
+        rate, got = wav.decode_wav(tagged)
+        assert rate == 8000 and (got == samples).all()
+
+
+def test_audio_fingerprint_catches_retagged_copy(spark):
+    """audio_fingerprint_media over real WAV bytes: a re-tagged copy
+    fingerprints identically (same rate+PCM) while unrelated audio never
+    collides; the fingerprint changes when the rate changes even for
+    identical sample arrays."""
+    import numpy as np
+
+    from spider_spark.functions import wav
+    from spider_spark.functions.multimodal import audio_fingerprint_media
+
+    s = (np.arange(600) % 2003 - 1001).astype(np.int16)
+    rows = [
+        ("base", wav.encode_wav(s, 8000)),
+        ("retag", wav.encode_wav(s, 8000, info=b"comment")),
+        ("other", wav.encode_wav((s + 1).astype(np.int16), 8000)),
+        ("rate", wav.encode_wav(s, 8100)),
+    ]
+    media = spark.createDataFrame(rows, "media_ref string, content binary")
+    got = {r["media_ref"]: r for r in audio_fingerprint_media(media).collect()}
+    assert got["base"]["pcm_md5"] == got["retag"]["pcm_md5"]
+    assert got["base"]["pcm_md5"] != got["other"]["pcm_md5"]
+    assert got["base"]["pcm_md5"] != got["rate"]["pcm_md5"]
+    assert got["base"]["n_samples"] == 600
