@@ -1995,3 +1995,59 @@ def m10_audio_sample_dedup(spark, sf_dir):
         .select("id_a", F.col("aud_id").alias("id_b"), "n_samples")
     )
     return pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000)
+
+
+@q(
+    "m11_video_frame_dedup",
+    # planted ground truth: even doc_ids get a RE-ENCODED twin at id+1e6
+    # (every frame re-compressed with the next scanline filter — PNG
+    # bytes differ, decoded pixels identical since all five filters are
+    # lossless), odd doc_ids get unrelated video; n_frames is the synth
+    # formula, certifying the real container walk + per-frame decode
+    """SELECT CAST(doc_id AS BIGINT) AS id_a,
+              CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+              CAST(3 + doc_id % 8 AS INT) AS n_frames
+       FROM documents WHERE doc_id < 300 AND doc_id % 2 = 0""",
+)
+def m11_video_frame_dedup(spark, sf_dir):
+    """Frame-level video dedup — the video leg of the modality dedup
+    ladder (text d1-d10, image m9, audio m10): walk the MPNG container,
+    decode every frame through the real PNG codec, fingerprint the
+    concatenated decoded pixels, group-by-fingerprint via window min
+    (one hash exchange, no self-join).  A re-compressed copy has
+    different container bytes — the byte-level media-store key misses
+    it — but identical frames.  Planted-offset restriction as in
+    m9/m10/d2 for deterministic ground truth."""
+    from .functions.multimodal import synth_tagged_png_video, video_fingerprint_media
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    base = d.select(
+        F.col("doc_id").alias("vid_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(0).alias("refilter"),
+    )
+    twin = d.select(
+        (F.col("doc_id") + 1_000_000).alias("vid_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("doc_id"))
+        .otherwise(F.col("doc_id") + 500_000)
+        .alias("seed"),
+        F.lit(1).alias("refilter"),
+    )
+    refs = base.unionByName(twin).select(
+        F.col("vid_id").cast("string").alias("media_ref"), "seed", "refilter"
+    )
+    media = synth_tagged_png_video(refs).repartition(8)
+    fp = video_fingerprint_media(media, strict=True).select(
+        F.col("media_ref").cast("long").alias("vid_id"), "frames_md5", "n_frames"
+    )
+    w = Window.partitionBy("frames_md5")
+    pairs = (
+        fp.withColumn("id_a", F.min("vid_id").over(w))
+        .filter(F.col("vid_id") > F.col("id_a"))
+        .select("id_a", F.col("vid_id").alias("id_b"), "n_frames")
+    )
+    return pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000)

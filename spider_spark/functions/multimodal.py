@@ -947,3 +947,92 @@ def audio_fingerprint_media(media: DataFrame, strict: bool = True) -> DataFrame:
             )
 
     return media.select("media_ref", "content").mapInPandas(fn, out_schema)
+
+
+def synth_tagged_png_video(refs: DataFrame) -> DataFrame:
+    """REAL-video media store for the frame-dedup family: same pixel
+    formulas as synth_png_video, plus a ``refilter`` column — refilter=1
+    re-encodes every frame with the NEXT scanline filter ((s+f+1) % 5
+    instead of (s+f) % 5): the PNG byte streams differ, the decoded
+    frames do not (all five filters are lossless).  Input (media_ref,
+    seed long, refilter int); output matches synth_media_table."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_refs, blobs, nbytes = [], [], []
+            for ref, seed, refl in zip(pdf["media_ref"], pdf["seed"], pdf["refilter"]):
+                s, shift = int(seed), int(refl)
+                nf, w, h = 3 + s % 8, 8 + s % 5, 8 + s % 3
+                i = np.arange(w * h, dtype=np.int64)
+                frames = []
+                for f in range(nf):
+                    px = np.empty((h, w, 4), dtype=np.uint8)
+                    px[..., 0] = ((5 * s + 7 * f + 11 * i) % 256).reshape(h, w)
+                    px[..., 1] = ((3 * s + 13 * f + 17 * i) % 256).reshape(h, w)
+                    px[..., 2] = ((s + f + i) % 5).reshape(h, w)
+                    px[..., 3] = 255
+                    frames.append(png.encode_png(px, filter_type=(s + f + shift) % 5))
+                data = encode_mpng(frames)
+                out_refs.append(ref)
+                blobs.append(data)
+                nbytes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "media_ref": out_refs,
+                    "content": blobs,
+                    "media_kind": ["video"] * len(out_refs),
+                    "n_bytes": np.array(nbytes, dtype=np.int32),
+                }
+            )
+
+    return refs.select(
+        "media_ref",
+        F.col("seed").cast("long").alias("seed"),
+        F.col("refilter").cast("int").alias("refilter"),
+    ).mapInPandas(fn, MEDIA)
+
+
+def video_fingerprint_media(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Frame-level video fingerprint in one python stage: MPNG container
+    walk + REAL per-frame PNG decode, then md5 over the concatenated
+    decoded frame pixels (dims included) — a re-encoded container (same
+    frames, different scanline filters / compression) fingerprints
+    identically while its bytes, and the byte-level media-store key,
+    differ.  Output (media_ref, n_frames, frames_md5)."""
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("frames_md5", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, counts, fps = [], [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                b = bytes(content or b"")
+                if not is_mpng(b):
+                    if strict:
+                        raise NotImplementedError("non-MPNG video decode not available")
+                    continue
+                h = hashlib.md5()
+                frames = parse_mpng(b)
+                for fb in frames:
+                    px = png.decode_png(fb)
+                    h.update(np.array(px.shape, dtype=np.int64).tobytes())
+                    h.update(px.tobytes())
+                refs.append(ref)
+                counts.append(len(frames))
+                fps.append(h.hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "n_frames": np.array(counts, dtype=np.int32),
+                    "frames_md5": fps,
+                }
+            )
+
+    return media.select("media_ref", "content").mapInPandas(fn, out_schema)

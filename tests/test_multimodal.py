@@ -338,3 +338,41 @@ def test_audio_fingerprint_catches_retagged_copy(spark):
     assert got["base"]["pcm_md5"] != got["other"]["pcm_md5"]
     assert got["base"]["pcm_md5"] != got["rate"]["pcm_md5"]
     assert got["base"]["n_samples"] == 600
+
+
+def test_video_fingerprint_catches_refiltered_copy(spark):
+    """video_fingerprint_media: a container re-encoded with different
+    scanline filters has different BYTES but an identical frame
+    fingerprint; dropping one frame or changing one pixel changes it."""
+    import numpy as np
+
+    from spider_spark.functions import png
+    from spider_spark.functions.multimodal import encode_mpng, video_fingerprint_media
+
+    def frame(f, bump=0):
+        i = np.arange(8 * 9, dtype=np.int64)
+        px = np.empty((8, 9, 4), dtype=np.uint8)
+        px[..., 0] = ((7 * f + 11 * i) % 256).reshape(8, 9)
+        px[..., 1] = ((13 * f + 17 * i) % 256).reshape(8, 9)
+        px[..., 2] = ((f + i) % 5).reshape(8, 9)
+        px[..., 3] = 255
+        px[0, 0, 0] = (int(px[0, 0, 0]) + bump) % 256
+        return px
+
+    frames = [frame(f) for f in range(4)]
+    base = encode_mpng([png.encode_png(p, filter_type=f % 5) for f, p in enumerate(frames)])
+    refl = encode_mpng([png.encode_png(p, filter_type=(f + 1) % 5) for f, p in enumerate(frames)])
+    short = encode_mpng([png.encode_png(p, filter_type=0) for p in frames[:3]])
+    bumped = encode_mpng(
+        [png.encode_png(frame(f, bump=1 if f == 2 else 0), filter_type=0) for f in range(4)]
+    )
+    assert base != refl
+    media = spark.createDataFrame(
+        [("base", base), ("refl", refl), ("short", short), ("bumped", bumped)],
+        "media_ref string, content binary",
+    )
+    got = {r["media_ref"]: r for r in video_fingerprint_media(media).collect()}
+    assert got["base"]["frames_md5"] == got["refl"]["frames_md5"]
+    assert got["base"]["frames_md5"] != got["short"]["frames_md5"]
+    assert got["base"]["frames_md5"] != got["bumped"]["frames_md5"]
+    assert got["base"]["n_frames"] == 4 and got["short"]["n_frames"] == 3
