@@ -171,3 +171,72 @@ def st3_stream_stateful_totals(spark, sf_dir):
         .filter(F.col("rk") == 1)
         .select("event_type", "n", "total")
     )
+
+
+@q(
+    "st6_stream_session_window",
+    # same gaps-and-islands twin as w9: the sentinel staging (below)
+    # makes the append-mode availableNow drain emit every REAL session
+    # exactly once — the sentinel user's own sessions are never emitted
+    # (the watermark never passes them), so the streaming result IS the
+    # batch session_window aggregate over the original events
+    """WITH m AS (SELECT user_id, ts,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_s
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       s AS (SELECT user_id, ts,
+                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+             FROM m)
+       SELECT user_id,
+              epoch_us(MIN(ts)) AS session_start,
+              epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end,
+              COUNT(*) AS n_events
+       FROM s GROUP BY user_id, sid""",
+)
+def st6_stream_session_window(spark, sf_dir):
+    """STREAMING sessionization (streaming/windows.session_window_stream)
+    in APPEND mode — the only mode Spark supports for streaming session
+    windows: each session emits exactly once, when the watermark passes
+    its end.  Real events stage as the oldest file; two single-row
+    sentinel files (+10d, +20d, user_id -1) follow with
+    maxFilesPerTrigger=1, so sentinel #1 advances the watermark past
+    every real session and sentinel #2's batch flushes them; the
+    sentinel sessions stay in state unemitted.  Output therefore equals
+    the batch aggregate the w9 gaps-and-islands SQL restates.  Session
+    TZ pinned to UTC for the NTZ casts (st1 pattern)."""
+    import datetime
+    import time
+
+    from .streaming.windows import session_window_stream
+
+    src, cp = _stage(spark, sf_dir, "st6")
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = spark.read.parquet(src)
+        mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        for days in (10, 20):
+            row = [(int(-1), mx + datetime.timedelta(days=days), int(-1),
+                    "sentinel", 0.0, "{}")]
+            (
+                spark.createDataFrame(row, ev.schema)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+            time.sleep(0.05)  # distinct mtimes: file source orders oldest-first
+        out = session_window_stream(spark, src, cp)
+        # the sentinel user's sessions are staging scaffolding (a final
+        # no-data batch can flush sentinel #1 once #2 advances the
+        # watermark) — real user_ids are non-negative
+        return out.filter(F.col("user_id") >= 0).select(
+            "user_id",
+            F.unix_micros(F.col("session_start")).alias("session_start"),
+            F.unix_micros(F.col("session_end")).alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)

@@ -237,3 +237,55 @@ def stateful_running_counts(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def session_window_stream(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization: readStream(events) -> watermark ->
+    per-user session_window (dynamic-gap merge), drained with
+    availableNow in APPEND mode (the only output mode Spark supports for
+    streaming session windows: a session is emitted exactly once, when
+    the watermark passes its end and no future event can merge into it).
+
+    Staging contract (st6 builds this): the real events sit in the
+    OLDEST file(s) and two far-future sentinel rows sit in two newer
+    single-row files; maxFilesPerTrigger=1 processes them oldest-first,
+    so the first sentinel advances the watermark past every real
+    session's end and the second triggers the emission pass.  The
+    sentinel sessions themselves stay in state (the watermark never
+    passes them) and are never emitted — the appended output is exactly
+    the batch session_window aggregate over the real events."""
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = _next_name("sessions")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{checkpoint_dir}/{name}")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

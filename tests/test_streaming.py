@@ -116,3 +116,38 @@ def test_stateful_running_counts_match_batch(spark, tmp_path):
         .collect()
     }
     assert final == exp
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """Append-mode streaming session windows under the sentinel staging
+    contract: two far-future single-row files advance the watermark so
+    every real session is emitted exactly once; the result (minus the
+    sentinel's own sessions) equals the batch session_window aggregate."""
+    import datetime
+    import time
+
+    from pyspark.sql import functions as F
+
+    from spider_spark.streaming.windows import session_window_stream
+
+    path = _events_dir(tmp_path)
+    ev = spark.read.parquet(path)
+    mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    for days in (10, 20):
+        row = [(int(-1), mx + datetime.timedelta(days=days), int(-1), "sentinel", 0.0, "{}")]
+        spark.createDataFrame(row, ev.schema).coalesce(1).write.mode("append").parquet(path)
+        time.sleep(0.05)
+    got = session_window_stream(spark, path, str(tmp_path / "cp")).filter(
+        F.col("user_id") >= 0
+    )
+    exp = (
+        ev.filter(F.col("user_id") >= 0)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+    )
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in exp.collect()}
+    assert g == e and len(g) > 100
