@@ -418,6 +418,8 @@ HEADLINE_QUERIES = [
     "j8_asof_last_click",
     "j9_interval_count",
     "t12_token_packing",
+    "d10_containment_dedup",
+    "w9_session_window",
 ]
 
 

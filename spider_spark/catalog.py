@@ -706,7 +706,13 @@ GRADED_WINDOW = [
     "r4_operator_user_json", "r6_phone_attribution",
     "c17_foreign_sink_upsert", "m8_jpeg_stats",
     # headline analytical queries
-    "q3_top_orders", "q5_nation_revenue",
+    # (r5 final2: q5 snowflake-revenue out — q3 keeps the OLAP-report
+    # family, q5 stays oracle-gated in the tail; d10 containment dedup
+    # in — a genuinely new dedup MODE (truncated/boilerplate-wrapped
+    # copies at ~0.5 Jaccard that the MinHash tier provably drops),
+    # integer-exact n_match == n_shingles predicate, planted half-doc
+    # ground truth recomputed by both engines)
+    "q3_top_orders", "d10_containment_dedup",
 ]
 
 
