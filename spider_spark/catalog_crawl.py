@@ -930,3 +930,72 @@ def c17_foreign_sink_upsert(spark, sf_dir):
             f"sink accounting broken: reported {n_written}, stored {len(rows)}"
         )
     return spark.createDataFrame(rows, "k long, first_doc long")
+
+
+def _c18_sql() -> str:
+    from .functions.zorder import z_sql
+
+    return f"""WITH pts AS (
+         SELECT doc_id, doc_id % 256 AS x, (7 * doc_id) % 256 AS y
+         FROM documents)
+       SELECT doc_id, x, y, {z_sql('x', 'y')} AS z
+       FROM pts
+       WHERE x BETWEEN 32 AND 95 AND y BETWEEN 64 AND 127"""
+
+
+@q(
+    "c18_zorder_scan",
+    # ground truth is z-independent: the box filter restated over the
+    # same (x, y) derivation, PLUS the z column itself re-derived by the
+    # identical bit-interleave formula (z_sql) — grading both the Morton
+    # math and that the pruned scan lost no box rows
+    _c18_sql(),
+)
+def c18_zorder_scan(spark, sf_dir):
+    """Z-order clustering + 2-D stats skipping end-to-end through the
+    REAL TableStore (the Delta OPTIMIZE ZORDER analog): points
+    (x, y) = (doc_id % 256, 7*doc_id % 256) get a Morton z-value
+    (functions/zorder.py, pure JVM bit math), segments are appended
+    range-clustered by z QUARTILE with stats_col="z", and the 2-D box
+    query [32,95]x[64,127] scans only the segments whose z-interval
+    intersects the box's conservative z-span [z(32,64), z(95,127)] =
+    [9216, 15359] — which lies entirely inside quartile 0, so the entry
+    RAISES unless exactly 1 of the 4 members survives the manifest
+    prune.  One stats column serves both query dimensions; at 100 TB a
+    box query opens O(box) segments instead of a full scan.  The exact
+    box filter is re-applied after the pruned scan (stats prune, never
+    answer).  The parquet bytes on disk are what get graded."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .functions.zorder import z_box_bounds, z_value
+    from .storage import TableStore
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_c18_store_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, root)
+    pts = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % 256).cast("long").alias("x"),
+        ((F.lit(7) * F.col("doc_id")) % 256).cast("long").alias("y"),
+    )
+    pts = pts.withColumn("z", z_value("x", "y", bits=8))
+    quart = 1 << 14  # z < 2**16 for 8-bit coords
+    for j in range(4):
+        seg = pts.filter((F.col("z") >= j * quart) & (F.col("z") < (j + 1) * quart))
+        if seg.isEmpty():
+            raise AssertionError(f"z quartile {j} is empty — clustering vacuous")
+        store.append("pts", seg, stats_col="z")
+    zlo, zhi = z_box_bounds(32, 64, 95, 127, bits=8)
+    kept = store.range_members("pts", "z", zlo, zhi)
+    if len(kept) != 1:
+        raise AssertionError(
+            f"z-stats skipping did not engage: {len(kept)} members kept, expected 1"
+        )
+    return (
+        store.read_range("pts", "z", zlo, zhi)
+        .filter(F.col("x").between(32, 95) & F.col("y").between(64, 127))
+        .select("doc_id", "x", "y", "z")
+    )
