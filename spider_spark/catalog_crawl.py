@@ -999,3 +999,58 @@ def c18_zorder_scan(spark, sf_dir):
         .filter(F.col("x").between(32, 95) & F.col("y").between(64, 127))
         .select("doc_id", "x", "y", "z")
     )
+
+
+@q(
+    "c19_branch_publish",
+    # ground truth: odds land on the BRANCH across two commits — main
+    # ('pre') and the pre-fork tag see only evens (the entry RAISES
+    # otherwise), the branch head and post-fast-forward main see all
+    """SELECT 'pre' AS probe, doc_id FROM documents
+       WHERE doc_id < 300 AND doc_id % 2 = 0
+       UNION ALL
+       SELECT 'branch', doc_id FROM documents WHERE doc_id < 300
+       UNION ALL
+       SELECT 'tag', doc_id FROM documents
+       WHERE doc_id < 300 AND doc_id % 2 = 0
+       UNION ALL
+       SELECT 'post', doc_id FROM documents WHERE doc_id < 300""",
+)
+def c19_branch_publish(spark, sf_dir):
+    """Branch/tag refs end-to-end through the REAL TableStore (Iceberg
+    refs analog — WAP generalized from one staged snapshot to a whole
+    lineage): a tag pins the pre-fork corpus immutably, a branch takes
+    TWO isolated append commits that no main-table reader sees, and
+    fast_forward publishes the lineage as an atomic pointer move (CAS
+    on the fork base).  The audit-then-publish flow a training-data
+    ingest runs per round, with multi-commit audits.  The parquet bytes
+    on disk are what get graded."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .storage import TableStore
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_c19_store_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, root)
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    store.write("docs", ids.filter(F.col("doc_id") % 2 == 0))
+    store.create_tag("docs", "pre-fork")
+    store.create_branch("docs", "audit")
+    store.append_to_branch("docs", "audit", ids.filter(F.col("doc_id") % 4 == 1))
+    store.append_to_branch("docs", "audit", ids.filter(F.col("doc_id") % 4 == 3))
+    pre = store.read("docs").select(F.lit("pre").alias("probe"), "doc_id")
+    n_main, n_branch = store.read("docs").count(), store.read_ref("docs", "audit").count()
+    if not (n_main == 150 and n_branch == 300):
+        raise AssertionError(f"branch leaked: main={n_main} branch={n_branch}")
+    branch = store.read_ref("docs", "audit").select(
+        F.lit("branch").alias("probe"), "doc_id"
+    )
+    store.fast_forward("docs", "audit")
+    tag = store.read_ref("docs", "pre-fork").select(F.lit("tag").alias("probe"), "doc_id")
+    post = store.read("docs").select(F.lit("post").alias("probe"), "doc_id")
+    return pre.unionByName(branch).unionByName(tag).unionByName(post)

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from urllib.parse import unquote
 
@@ -584,6 +585,144 @@ class TableStore:
         self._set_pointer(table, version)
         return version
 
+    # ------------------------------------------------------------ refs
+    def _refs_dir(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_refs")
+
+    def _ref_path(self, table: str, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"invalid ref name {name!r}")
+        return os.path.join(self._refs_dir(table), f"{name}.json")
+
+    def _write_ref(self, table: str, name: str, ref: dict) -> None:
+        os.makedirs(self._refs_dir(table), exist_ok=True)
+        tmp = self._ref_path(table, name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ref, f)
+        os.replace(tmp, self._ref_path(table, name))
+
+    def ref(self, table: str, name: str) -> dict:
+        try:
+            with open(self._ref_path(table, name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(f"table '{table}' has no ref '{name}'") from None
+
+    def refs(self, table: str) -> dict[str, dict]:
+        """All named refs of a table: {name: {kind, version, ...}}."""
+        out = {}
+        try:
+            for f in sorted(os.listdir(self._refs_dir(table))):
+                if f.endswith(".json"):
+                    out[f[:-5]] = self.ref(table, f[:-5])
+        except FileNotFoundError:
+            pass
+        return out
+
+    def create_tag(self, table: str, name: str, version: str | None = None) -> str:
+        """Iceberg tag analog: an IMMUTABLE named pointer to a snapshot
+        (default: the current one).  Tags pin a reproducible dataset —
+        'the corpus a model was trained on' — and expire_snapshots keeps
+        every ref'd snapshot readable regardless of its age."""
+        v = version or self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"table {table} has no committed version")
+        self._manifest(table, v)  # must exist
+        if os.path.exists(self._ref_path(table, name)):
+            raise ValueError(f"ref '{name}' already exists on '{table}'")
+        self._write_ref(table, name, {"kind": "tag", "version": v})
+        return v
+
+    def create_branch(self, table: str, name: str, version: str | None = None) -> str:
+        """Iceberg branch analog: a MUTABLE named pointer that advances
+        via append_to_branch while the table pointer stays put — the
+        isolation layer for multi-commit audit flows (WAP generalized
+        from one staged snapshot to a whole lineage).  ``base`` records
+        the main-table version the branch forked from; fast_forward
+        CASes on it."""
+        v = version or self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"table {table} has no committed version")
+        self._manifest(table, v)
+        if os.path.exists(self._ref_path(table, name)):
+            raise ValueError(f"ref '{name}' already exists on '{table}'")
+        self._write_ref(table, name, {"kind": "branch", "version": v, "base": v})
+        return v
+
+    def read_ref(self, table: str, name: str) -> DataFrame:
+        """Read the snapshot a named ref points to (tag or branch head)
+        — time travel by name instead of version/round."""
+        return self.read_at(table, version=self.ref(table, name)["version"])
+
+    def append_to_branch(
+        self,
+        table: str,
+        name: str,
+        df: DataFrame,
+        stats_col: str | None = None,
+    ) -> str:
+        """Append ONLY to a branch: a new segment + manifest whose parent
+        is the branch head; the branch ref advances, the table pointer
+        does not move, so no main-table reader sees the rows.  Same
+        O(delta) cost as append.  The branch lineage is durable and
+        auditable via read_ref/read_at(version=...) until fast_forward
+        publishes it (or the branch is abandoned to expire_snapshots)."""
+        r = self.ref(table, name)
+        if r["kind"] != "branch":
+            raise ValueError(f"ref '{name}' is a {r['kind']}, not a branch")
+        head = r["version"]
+        prev = self._manifest(table, head)
+        pcol = prev.get("partition_col")
+        self._check_schema(table, df, prev, "append_to_branch")
+        v = self._next_version(table)
+        new_members = self._write_segment(
+            table, v, df, [pcol] if pcol else None, stats_col=stats_col
+        )
+        schema = StructType.fromJson(json.loads(prev["schema"]))
+        self._write_manifest(
+            table,
+            v,
+            {
+                "members": prev["members"] + new_members,
+                "schema": schema.json(),
+                "columns": [f.name for f in schema.fields],
+                "partition_col": pcol,
+                "deletes": prev.get("deletes") or [],
+                "parent": head,
+            },
+        )
+        self._write_ref(table, name, {"kind": "branch", "version": v, "base": r["base"]})
+        return v
+
+    def fast_forward(self, table: str, name: str) -> str:
+        """Publish a branch: atomically move the table pointer to the
+        branch head.  CAS on the branch's fork base — if any writer
+        committed to main since the fork, fast-forwarding would silently
+        drop their members (the branch manifests don't contain them), so
+        it raises instead (re-branch from current and replay).  After
+        publishing, the branch's base advances to its head, so the
+        branch remains usable for the next audit cycle."""
+        r = self.ref(table, name)
+        if r["kind"] != "branch":
+            raise ValueError(f"ref '{name}' is a {r['kind']}, not a branch")
+        cur = self.current_version(table)
+        if cur != r["base"]:
+            raise ConcurrentCommitError(
+                f"table '{table}': branch '{name}' forked at {r['base']} but the "
+                f"table is at {cur} — re-branch from the current snapshot"
+            )
+        self._set_pointer(table, r["version"])
+        self._write_ref(
+            table, name, {"kind": "branch", "version": r["version"], "base": r["version"]}
+        )
+        return r["version"]
+
+    def drop_ref(self, table: str, name: str) -> None:
+        try:
+            os.remove(self._ref_path(table, name))
+        except FileNotFoundError:
+            raise ValueError(f"table '{table}' has no ref '{name}'") from None
+
     def delete_rows(self, table: str, keys: DataFrame, key: str) -> str:
         """Iceberg v2 equality-delete analog (merge-on-read): commit the
         key set as a DELETE segment — NO data member is read or
@@ -825,6 +964,12 @@ class TableStore:
             kept = set(versions[-keep:])
             if cur:
                 kept.add(cur)
+            for r in self.refs(t).values():
+                # ref'd snapshots (tags, branch heads) and a branch's
+                # fork base stay readable regardless of age
+                kept.add(r["version"])
+                if "base" in r:
+                    kept.add(r["base"])
             referenced: set[str] = set()
             for v in kept:
                 try:
