@@ -492,3 +492,34 @@ def w9_session_window(spark, sf_dir):
         return out
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+@q(
+    "a13_heavy_hitters",
+    # exact ground truth: the full groupBy top-10 with the same
+    # deterministic Zipf-ish key construct (k = 65536 // (lcg(x)+1) has
+    # P(k=j) ~ 1/(j(j+1)), so a bounded sketch must certify a real tail)
+    """WITH keyed AS (
+         SELECT 65536 // ((1103515245 * event_id + 12345) % 65536 + 1) AS k
+         FROM events)
+       SELECT k, COUNT(*) AS cnt FROM keyed
+       GROUP BY k ORDER BY cnt DESC, k LIMIT 10""",
+)
+def a13_heavy_hitters(spark, sf_dir):
+    """Heavy hitters with bounded memory (functions/sketch.py): one
+    mapInPandas pass of per-partition Misra-Gries (192 counters) emits
+    a candidate superset of every key with count > N/193, then ONLY the
+    candidates are recounted exactly (broadcast semi-join + groupBy) —
+    the shuffle carries O(candidates) rows, not O(distinct keys).  The
+    operator RAISES unless the k-th count clears the MG bound, so the
+    graded answer is certified-exact, never sketch-approximate.  At
+    10^9 distinct URLs/tokens this is the difference between a metadata
+    shuffle and shuffling every key ever seen.  The key is a
+    deterministic Zipf-ish surrogate (P(k=j) ~ 1/(j(j+1))) so the
+    frequency tail is real at every SF."""
+    from .functions.sketch import heavy_hitters_topk
+
+    keyed = _t(spark, sf_dir, "events").select(
+        F.expr("65536 div ((1103515245 * event_id + 12345) % 65536 + 1)").alias("k")
+    )
+    return heavy_hitters_topk(keyed, "k", k=10, capacity=192)
