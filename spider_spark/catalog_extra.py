@@ -523,3 +523,78 @@ def a13_heavy_hitters(spark, sf_dir):
         F.expr("65536 div ((1103515245 * event_id + 12345) % 65536 + 1)").alias("k")
     )
     return heavy_hitters_topk(keyed, "k", k=10, capacity=192)
+
+
+@q(
+    "g2_hits2",
+    # 2 unnormalized HITS iterations over a SKEWED deterministic graph
+    # (dst = id^2+13 and id^3+29 mod N — quadratic/cubic residues are
+    # non-bijective, so in-degrees genuinely vary); unnormalized power
+    # iterations are ALL-INTEGER, hence engine-exact with no rounding
+    """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+       edges AS (
+         SELECT doc_id AS src,
+                (doc_id * doc_id + 13) % (SELECT n FROM nn) AS dst
+         FROM documents
+         UNION ALL
+         SELECT doc_id,
+                (doc_id * doc_id * doc_id + 29) % (SELECT n FROM nn)
+         FROM documents),
+       a1 AS (SELECT dst AS v, COUNT(*) AS s FROM edges GROUP BY dst),
+       h1 AS (SELECT e.src AS v, SUM(a1.s) AS s
+              FROM edges e JOIN a1 ON a1.v = e.dst GROUP BY e.src),
+       a2 AS (SELECT e.dst AS v, SUM(h1.s) AS s
+              FROM edges e JOIN h1 ON h1.v = e.src GROUP BY e.dst),
+       h2 AS (SELECT e.src AS v, SUM(a2.s) AS s
+              FROM edges e JOIN a2 ON a2.v = e.dst GROUP BY e.src)
+       SELECT d.doc_id,
+              CAST(COALESCE(h2.s, 0) AS BIGINT) AS hub,
+              CAST(COALESCE(a2.s, 0) AS BIGINT) AS auth
+       FROM documents d
+       LEFT JOIN h2 ON h2.v = d.doc_id
+       LEFT JOIN a2 ON a2.v = d.doc_id""",
+)
+def g2_hits2(spark, sf_dir):
+    """HITS hub/authority scoring, 2 power iterations (Kleinberg) —
+    the mutually-recursive sibling of g1's PageRank: authority = sum of
+    hub scores over in-links, hub = sum of authority over out-links.
+    Unnormalized iterations keep every score an INTEGER (normalization
+    only rescales the ranking), so the fixpoint is engine-exact — the
+    same trick as the d6/d7 integer label fixpoints, applied to a float
+    algorithm.  Crawl use: authority ranks pages worth re-fetching, hub
+    ranks pages worth link-mining.  At scale each iteration is one
+    shuffle on the join key with map-side partial aggregation; the
+    production loop would localCheckpoint per iteration like
+    connected_components does."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    edges = docs.select(
+        d.alias("src"), ((d * d + 13) % n).alias("dst")
+    ).unionAll(docs.select(d.alias("src"), ((d * d * d + 29) % n).alias("dst")))
+    a1 = edges.groupBy(F.col("dst").alias("v")).agg(F.count("*").alias("s"))
+    h1 = (
+        edges.join(a1, edges.dst == a1.v)
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.sum("s").alias("s"))
+    )
+    a2 = (
+        edges.join(h1, edges.src == h1.v)
+        .groupBy(F.col("dst").alias("v"))
+        .agg(F.sum("s").alias("s"))
+    )
+    h2 = (
+        edges.join(a2, edges.dst == a2.v)
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.sum("s").alias("s"))
+    )
+    return (
+        docs.join(h2.select(F.col("v"), F.col("s").alias("hub")), docs.doc_id == F.col("v"), "left")
+        .drop("v")
+        .join(a2.select(F.col("v"), F.col("s").alias("auth")), docs.doc_id == F.col("v"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+        )
+    )

@@ -2051,3 +2051,65 @@ def m11_video_frame_dedup(spark, sf_dir):
         .select("id_a", F.col("vid_id").alias("id_b"), "n_frames")
     )
     return pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000)
+
+
+@q(
+    "t18_bigram_lm_score",
+    # CCNet-style LM quality scoring made integer-exact: per-bigram
+    # "probability" = floor(1e6 * count(w1 w2) / count(w1 _)) via BIGINT
+    # integer division (no float log, no ulp drift), summed per doc
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+                generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS i
+         FROM documents WHERE length(trim(text)) > 0),
+       bg AS (
+         SELECT doc_id, tok AS w1,
+                lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+         FROM toks),
+       big AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+       cp AS (SELECT w1, COUNT(*) AS cp FROM big GROUP BY w1),
+       cb AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2)
+       SELECT doc_id,
+              COUNT(*) AS n_bigrams,
+              CAST(SUM((1000000 * cb) // cp) AS BIGINT) AS lm_score
+       FROM big JOIN cb USING (w1, w2) JOIN cp USING (w1)
+       GROUP BY doc_id""",
+)
+def t18_bigram_lm_score(spark, sf_dir):
+    """Corpus-trained bigram language-model quality scoring — the
+    CCNet/KenLM-shaped filter (score each document by how typical its
+    token transitions are for the corpus; boilerplate and word-salad
+    score low).  The usual per-bigram log-prob is float and cross-engine
+    fragile; this uses the integer surrogate floor(1e6 * P(w2|w1)) via
+    BIGINT division, preserving the ranking while staying engine-exact
+    (same trick as t15's integer threshold).  All-JVM: bigrams via
+    transform-over-sequence + explode, the 31^2-row model broadcast to
+    the scoring join — at 100 TB the model stays a broadcast table and
+    the corpus is touched in two shuffle-free-after-partial-agg passes."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t)-2),"
+                " i -> named_struct('w1', t[i], 'w2', t[i+1]))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    cp = big.groupBy("w1").agg(F.count("*").alias("cp"))
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    model = cb.join(cp, "w1")
+    return (
+        big.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.expr("(1000000 * cb) div cp")).alias("lm_score"),
+        )
+    )
