@@ -616,7 +616,13 @@ GRADED_WINDOW = [
     # r4 cont.: p12 out too — p11 keeps the validation-filter family and
     # p12's schema-enforcement shape is graded by s7's tail twin; both
     # stay oracle-gated in the tail)
-    "p1_key_convert", "p11_sanity_filter",
+    # (r5 final4: p1 key-convert out — the trivial rename projection;
+    # p11 keeps the P-family green and p1 stays oracle-gated in the
+    # tail.  c18 in — z-order clustering + 2-D manifest stats skipping
+    # on REAL store bytes; the entry RAISES unless the box query prunes
+    # 3 of 4 members, and the oracle re-derives the Morton math bit-
+    # for-bit)
+    "c18_zorder_scan", "p11_sanity_filter",
     # joins (j6 dim-lookup swapped out r4: near-dup of j1's broadcast
     # join; late-r4: j4 anti-range out — the anti-join shape is graded by
     # the engine-relevant j5 anti-seen; r4 final: j7 semi out — the
@@ -659,7 +665,11 @@ GRADED_WINDOW = [
     # url-format out — scalar concat, four f-entries keep the family)
     # (r4 cont.: f19 sorted-array-agg out — a third scalar string shape,
     # f1/f4/f17 keep the family; stays oracle-gated in the tail)
-    "f1_json_parse", "f4_regex_extract", "f17_explode_tokens",
+    # (r5 final4: f4 regex-extract out — f1/f17 keep the F-family green,
+    # f4 stays oracle-gated in the tail.  a13 in — certified-exact heavy
+    # hitters: bounded-memory Misra-Gries candidates + exact recount,
+    # the op that keeps top-k affordable at 10^9 distinct keys)
+    "f1_json_parse", "a13_heavy_hitters", "f17_explode_tokens",
     # Structured Streaming (late-r4, previously never driver-graded):
     # watermarked windowed agg, the applyInPandasWithState stateful
     # operator, and (r4 cont.) the watermarked stream-stream interval
