@@ -2113,3 +2113,214 @@ def t18_bigram_lm_score(spark, sf_dir):
             F.sum(F.expr("(1000000 * cb) div cp")).alias("lm_score"),
         )
     )
+
+
+@q(
+    "t19_dsir_importance",
+    # DSIR-style importance weighting for domain-targeted data selection
+    # (Xie et al. 2023): per-token weight = floor(1e6 * n_target(w) /
+    # n_source(w)) via BIGINT division — integer-exact, no log-ratio
+    """WITH toks AS (
+         SELECT doc_id, lang,
+                unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         FROM documents WHERE length(trim(text)) > 0),
+       m AS (SELECT w, COUNT(*) AS ns,
+                    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+             FROM toks GROUP BY w)
+       SELECT doc_id,
+              COUNT(*) AS n_tokens,
+              CAST(SUM((1000000 * nt) // ns) AS BIGINT) AS dsir_score
+       FROM toks JOIN m USING (w)
+       GROUP BY doc_id""",
+)
+def t19_dsir_importance(spark, sf_dir):
+    """DSIR-shaped importance weighting for domain-matched data
+    selection (select source documents whose token distribution looks
+    like a target domain — here target = the 'en' stratum, source = the
+    whole corpus).  The usual form is a log-ratio of hashed-ngram
+    probabilities; the float log is cross-engine fragile, so the score
+    is the integer surrogate sum(floor(1e6 * n_target(w)/n_source(w)))
+    — monotone in the target/source likelihood ratio under a unigram
+    model, engine-exact (t18's BIGINT-division trick).  Plan shape: ONE
+    conditional aggregation (map-side partial) builds both sides of the
+    token model in a single corpus pass, the model broadcasts into the
+    scoring join, score is one more partial agg — at 100 TB the model
+    is bounded by vocabulary, not corpus, and the corpus shuffles
+    exactly twice (token model, per-doc score).  Reference
+    analog: the keyword-scored operator-page triage in
+    flask_spider/spider/shixin_spider.py (rank pages by how much their
+    text matches the target vocabulary) done corpus-statistically."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("t"))
+    )
+    tok = docs.select("doc_id", "lang", F.explode("t").alias("w"))
+    model = tok.groupBy("w").agg(
+        F.count("*").alias("ns"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("nt"),
+    )
+    return (
+        tok.join(F.broadcast(model), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.expr("(1000000 * nt) div ns")).alias("dsir_score"),
+        )
+    )
+
+
+@q(
+    "g3_anchor_text",
+    # link-graph inversion with anchor-text aggregation: every doc u
+    # links to (7u+13) % N and (u*u+5) % N carrying its lead bigram as
+    # the anchor; per target: in-degree, distinct anchors, and the
+    # plurality anchor (count DESC, anchor ASC — deterministic)
+    """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+       src AS (
+         SELECT doc_id,
+                array_to_string(
+                  regexp_split_to_array(trim(text), '\\s+')[1:2], ' ') AS anchor
+         FROM documents WHERE length(trim(text)) > 0),
+       e AS (
+         SELECT (7 * doc_id + 13) % n.n AS dst, anchor FROM src, n
+         UNION ALL
+         SELECT (doc_id * doc_id + 5) % n.n AS dst, anchor FROM src, n),
+       g AS (SELECT dst, anchor, COUNT(*) AS c FROM e GROUP BY dst, anchor),
+       r AS (SELECT dst, anchor, c,
+                    SUM(c) OVER (PARTITION BY dst) AS n_inlinks,
+                    COUNT(*) OVER (PARTITION BY dst) AS n_anchors,
+                    ROW_NUMBER() OVER (PARTITION BY dst
+                                       ORDER BY c DESC, anchor) AS rn
+             FROM g)
+       SELECT dst AS dst_id, CAST(n_inlinks AS BIGINT) AS n_inlinks,
+              CAST(n_anchors AS BIGINT) AS n_anchors,
+              anchor AS top_anchor, CAST(c AS BIGINT) AS top_count
+       FROM r WHERE rn = 1""",
+)
+def g3_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation — the link-graph inversion every web
+    indexer runs after a crawl (collect the text of inbound links per
+    target page; the plurality anchor is a stronger relevance signal
+    than the page's own text).  Synthetic edge list: doc u links to
+    (7u+13) % N (g1's bijection — every target keeps >= 1 inlink) and
+    (u^2+5) % N (non-bijective, so in-degrees vary like a real link
+    graph's long tail vs hubs).  Tie-break on
+    (count DESC, anchor ASC) makes the plurality anchor deterministic
+    cross-engine.  Plan shape: one shuffle to (dst, anchor) counts with
+    map-side partial agg, then the dst-level rollup — the two windows
+    and row_number all share ONE dst exchange (Catalyst reuses the
+    coarser partitioning).  At 100 TB anchors are capped strings and
+    the hot-target skew (everyone links to the homepage) is bounded by
+    the (dst, anchor) pre-aggregation, which collapses duplicate
+    anchors before the dst shuffle.  Reference analog: the inbound
+    phone-number attribution rollup in flask_spider phone_book.py."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n"))
+    src = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 2), " ").alias(
+                "anchor"
+            ),
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    e = src.select(
+        ((F.lit(7) * F.col("doc_id") + 13) % F.col("n")).alias("dst"), "anchor"
+    ).unionByName(
+        src.select(
+            ((F.col("doc_id") * F.col("doc_id") + 5) % F.col("n")).alias("dst"),
+            "anchor",
+        )
+    )
+    g = e.groupBy("dst", "anchor").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("dst")
+    r = (
+        g.withColumn("n_inlinks", F.sum("c").over(w))
+        .withColumn("n_anchors", F.count("*").over(w))
+        .withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.col("c").desc(), F.col("anchor"))),
+        )
+    )
+    return r.filter(F.col("rn") == 1).select(
+        F.col("dst").alias("dst_id"),
+        F.col("n_inlinks").cast("long").alias("n_inlinks"),
+        F.col("n_anchors").cast("long").alias("n_anchors"),
+        F.col("anchor").alias("top_anchor"),
+        F.col("c").cast("long").alias("top_count"),
+    )
+
+
+@q(
+    "c20_recrawl_schedule",
+    # adaptive revisit scheduling (Cho & Garcia-Molina freshness):
+    # per-url average observed change interval, clamped to [1h, 7d],
+    # all in BIGINT epoch-micros so the schedule is engine-exact
+    """WITH ob AS (SELECT user_id AS url_id, epoch_us(ts) AS us FROM events),
+       s AS (SELECT url_id, COUNT(*) AS n_obs, MIN(us) AS first_us,
+                    MAX(us) AS last_us
+             FROM ob GROUP BY url_id HAVING COUNT(*) >= 2),
+       iv AS (SELECT url_id, n_obs,
+                     (last_us - first_us) // (n_obs - 1) AS avg_iv, last_us
+              FROM s)
+       SELECT url_id, CAST(n_obs AS BIGINT) AS n_obs,
+              CAST(avg_iv AS BIGINT) AS avg_interval_us,
+              CAST(LEAST(GREATEST(avg_iv, 3600000000),
+                         604800000000) AS BIGINT) AS next_interval_us,
+              CAST(last_us + LEAST(GREATEST(avg_iv, 3600000000),
+                                   604800000000) AS BIGINT) AS next_fetch_us
+       FROM iv""",
+)
+def c20_recrawl_schedule(spark, sf_dir):
+    """Adaptive recrawl scheduling — the freshness policy a production
+    crawler runs between rounds (Cho & Garcia-Molina: revisit interval
+    proportional to the page's observed change rate).  Each event is an
+    observed change of its url (user_id surrogate); the next-fetch
+    interval is the average observed inter-change gap clamped to
+    [1 hour, 7 days], and next_fetch = last observation + interval —
+    exactly the quantity frontier.dequeue orders on (next_fetch_time).
+    All arithmetic is BIGINT epoch-micros (integer division), so the
+    schedule is engine-exact; session TZ pins to UTC around the
+    NTZ->unix_micros cast (j9's pattern).  Plan: ONE map-side-partial
+    aggregation — min/max/count per key — then pure projection; at
+    100 TB of fetch history this is a single shuffle of one row per
+    url.  Reference analog: the per-operator revisit cadence hardcoded
+    in flask_spider's cron tables, derived here from data instead."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ob = _t(spark, sf_dir, "events").select(
+            F.col("user_id").alias("url_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        s = (
+            ob.groupBy("url_id")
+            .agg(
+                F.count("*").alias("n_obs"),
+                F.min("us").alias("first_us"),
+                F.max("us").alias("last_us"),
+            )
+            .filter(F.col("n_obs") >= 2)
+        )
+        iv = s.select(
+            "url_id",
+            "n_obs",
+            F.expr("(last_us - first_us) div (n_obs - 1)").alias("avg_iv"),
+            "last_us",
+        )
+        clamped = F.least(
+            F.greatest(F.col("avg_iv"), F.lit(3_600_000_000)),
+            F.lit(604_800_000_000),
+        )
+        return iv.select(
+            "url_id",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.col("avg_iv").cast("long").alias("avg_interval_us"),
+            clamped.cast("long").alias("next_interval_us"),
+            (F.col("last_us") + clamped).cast("long").alias("next_fetch_us"),
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)

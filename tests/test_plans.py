@@ -397,3 +397,45 @@ def test_w9_session_window_single_exchange_partial_agg(spark):
     assert "hashpartitioning(user_id" in plan
     assert "partial_count" in plan
     assert plan.index("partial_count") > plan.index("Exchange")
+
+
+def test_t19_dsir_model_single_pass_and_broadcast(spark):
+    """t19: the token model is built in ONE conditional aggregation
+    (not separate target/source passes) and broadcasts into the scoring
+    join — exactly two hash exchanges touch the exploded corpus."""
+    import re
+
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["t19_dsir_importance"](spark, SF_DIR), mode="simple")
+    assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_g3_anchor_windows_share_dst_exchange(spark):
+    """g3: the (dst, anchor) count pre-aggregates map-side (hub-skew
+    bound) and the three dst-level window functions share ONE dst
+    exchange — two corpus exchanges total, no join at all."""
+    import re
+
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["g3_anchor_text"](spark, SF_DIR), mode="simple")
+    hp = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hp) == 2
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_c20_recrawl_is_one_exchange_partial_agg(spark):
+    """c20: the revisit schedule is min/max/count per url — one hash
+    exchange with partial aggregation below it, projection above."""
+    import re
+
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["c20_recrawl_schedule"](spark, SF_DIR), mode="simple")
+    assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 1
+    assert "partial_count" in plan or "partial_min" in plan
+    assert plan.index("partial_") > plan.index("Exchange")
