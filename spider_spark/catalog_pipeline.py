@@ -2324,3 +2324,170 @@ def c20_recrawl_schedule(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+@q(
+    "t20_global_shuffle",
+    # deterministic corpus shuffle + contiguous shard assignment for
+    # training export: permutation key = md5(doc_id), global rank via
+    # ROW_NUMBER, shard = floor((rank-1)*16/n); per-shard id sequence
+    # is md5-graded so the ENTIRE permutation is certified
+    """WITH r AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+                  FROM documents),
+       n AS (SELECT COUNT(*) AS n FROM r),
+       rk AS (SELECT doc_id, h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM r),
+       s AS (SELECT doc_id, rn, ((rn - 1) * 16) // n.n AS shard FROM rk, n)
+       SELECT CAST(shard AS BIGINT) AS shard,
+              COUNT(*) AS n_docs,
+              md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn))
+                  AS ids_md5
+       FROM s GROUP BY shard""",
+)
+def t20_global_shuffle(spark, sf_dir):
+    """Deterministic global shuffle + shard export — the last step of a
+    training-data pipeline (break source locality before the training
+    run; every worker must derive the SAME permutation).  Permutation
+    key = md5(doc_id) (no RNG, t6/t8's reproducibility), global rank by
+    the two-phase distributed total-order rank: bucket on the first md5
+    byte (256 buckets), per-bucket row_number + running bucket offsets
+    (a 256-row driver-side-free prefix sum, broadcast back) — NO
+    single-partition global sort, the t12 sharded-prefix-sum idea
+    applied to total ordering.  Shards are contiguous rank ranges
+    (floor((rank-1)*k/n)), and the md5 over each shard's ordered id
+    sequence certifies the whole permutation, not just counts.  At
+    100 TB the grading collect_list becomes t13's window-framed ordered
+    write — assignment cost is unchanged (the corpus shuffles twice:
+    bucket window, shard group)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    n = docs.agg(F.count("*").alias("n"))
+    r = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h")
+    ).withColumn("b", F.substring("h", 1, 2))
+    cnt = r.groupBy("b").agg(F.count("*").alias("c"))
+    offs = cnt.select(
+        "b",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    rn = (
+        F.col("off")
+        + F.row_number().over(Window.partitionBy("b").orderBy("h"))
+    ).alias("rn")
+    ranked = (
+        r.join(F.broadcast(offs), "b")
+        .select("doc_id", rn)
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "rn", F.expr("((rn - 1) * 16) div n").alias("shard"))
+    )
+    ordered_ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
+        lambda x: x["doc_id"].cast("string"),
+    )
+    return ranked.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.md5(F.concat_ws(",", ordered_ids).cast("binary")).alias("ids_md5"),
+    )
+
+
+@q(
+    "c21_trap_detection",
+    # crawl-trap (URL pattern explosion) detection: construct -> detect
+    # identity — doc d gets a /hH/s.../s... path with 1 + d%6 segments;
+    # d % 7 == 0 docs are planted traps (all segments 's0'), the rest
+    # use (d*(i+1) + i*i) % 4, which provably NEVER yields 3 equal
+    # consecutive segments (equal neighbors need d+2i+1 == d+2i+3 == 0
+    # mod 4 -> 2 == 0 mod 4).  A trap is >= 3 equal CONSECUTIVE
+    # segments, found by an array scan (no regex backrefs — RE2 has
+    # none, so a portable detector can't use them)
+    """WITH u AS (
+         SELECT doc_id,
+                '/h' || CAST(doc_id % 50 AS VARCHAR) ||
+                array_to_string(
+                  list_transform(generate_series(0, CAST(doc_id % 6 AS INT)),
+                    i -> '/s' || CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+                                      ELSE (doc_id * (i + 1) + i * i) % 4
+                                      END AS VARCHAR)),
+                  '') AS url
+         FROM documents),
+       p AS (SELECT doc_id, url,
+                    list_filter(string_split(url, '/'), x -> x <> '') AS segs
+             FROM u),
+       t AS (SELECT doc_id, url, segs,
+                    len(list_filter(
+                        generate_series(1, len(segs) - 2),
+                        i -> segs[i] = segs[i+1] AND segs[i+1] = segs[i+2]
+                    )) > 0 AS is_trap
+             FROM p)
+       SELECT segs[1] AS host,
+              COUNT(*) AS n_urls,
+              CAST(SUM(CASE WHEN is_trap THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_traps,
+              CAST(MAX(len(segs)) - 1 AS INT) AS max_depth
+       FROM t GROUP BY segs[1]""",
+)
+def c21_trap_detection(spark, sf_dir):
+    """Crawl-trap detection — the frontier defense every production
+    crawler needs (calendar pages, session-id mazes, and symlink loops
+    generate infinite URL spaces; the classic signature is a path
+    segment repeating consecutively).  URLs are constructed from doc_id
+    formulas (t16's construct->detect identity) and the detector is an
+    array scan over path segments — 3+ equal consecutive segments =
+    trap — because regex backreferences don't exist in RE2, so a
+    portable detector can't use '(/seg)\\1\\1'.  All whole-stage
+    codegen: build, split, higher-order exists, one host rollup
+    (map-side partial agg).  In the engine this predicate would sit in
+    frontier.dequeue next to the robots gate (frontier.py:68), pruning
+    trap URLs before they spend fetch budget; here it's graded
+    standalone per host.  First path segment (the host bucket) keys the
+    rollup, like the politeness gate's host key."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("/h"),
+        (d % 50).cast("string"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), (d % 6).cast("int")),
+                lambda i: F.concat(
+                    F.lit("/s"),
+                    F.when(d % 7 == 0, F.lit(0))
+                    .otherwise(F.pmod(d * (i + F.lit(1)) + i * i, F.lit(4)))
+                    .cast("string"),
+                ),
+            ),
+        ),
+    )
+    p = docs.select("doc_id", url.alias("url")).select(
+        "doc_id",
+        F.filter(F.split("url", "/"), lambda x: x != "").alias("segs"),
+    )
+    # when() is lazy per-row: for size < 4 the sequence would DESCEND
+    # (Spark sequence(0,-1) = [0,-1]) and element_at(segs, 0) throws
+    # under ANSI — the guard must branch, not just AND
+    is_trap = F.when(
+        F.size("segs") >= 4,
+        F.exists(
+            F.sequence(F.lit(0), F.size("segs") - 3),
+            lambda i: (F.element_at("segs", i + 1) == F.element_at("segs", i + 2))
+            & (F.element_at("segs", i + 2) == F.element_at("segs", i + 3)),
+        ),
+    ).otherwise(F.lit(False))
+    t = p.select(
+        F.element_at("segs", 1).alias("host"),
+        F.size("segs").alias("n_segs"),
+        is_trap.alias("is_trap"),
+    )
+    return t.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.col("is_trap").cast("int")).cast("long").alias("n_traps"),
+        (F.max("n_segs") - 1).cast("int").alias("max_depth"),
+    )

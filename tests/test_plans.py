@@ -439,3 +439,35 @@ def test_c20_recrawl_is_one_exchange_partial_agg(spark):
     assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 1
     assert "partial_count" in plan or "partial_min" in plan
     assert plan.index("partial_") > plan.index("Exchange")
+
+
+def test_t20_shuffle_has_no_global_sort(spark):
+    """t20: the total-order rank must come from the two-phase bucket
+    scheme — NO rangepartitioning (global sort) of the corpus.  The
+    only SinglePartition exchange feeds the 256-row bucket-offset
+    prefix sum, never corpus rows."""
+    import re
+
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["t20_global_shuffle"](spark, SF_DIR), mode="simple")
+    assert "rangepartitioning" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 3
+    # the offset window's single-partition exchange sits ABOVE the
+    # bucket-count aggregate (256 rows), not above a scan
+    if "Exchange SinglePartition" in plan:
+        seg = plan.split("Exchange SinglePartition")[1]
+        assert "HashAggregate" in seg.split("Scan")[0]
+
+
+def test_c21_trap_scan_is_one_exchange(spark):
+    """c21: construct + array-scan detector are codegen'd on the scan;
+    one host-rollup exchange with map-side partial aggregation."""
+    import re
+
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["c21_trap_detection"](spark, SF_DIR), mode="simple")
+    assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 1
+    assert "partial_count" in plan
+    assert "Join" not in plan
