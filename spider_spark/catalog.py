@@ -638,8 +638,13 @@ GRADED_WINDOW = [
     # aggregations (r4: a2 regex-agg out — f4 grades the regex, a5 the
     # group agg; a4 in — the reference's insert-time unique-key dedup;
     # late-r4: a6 distinct out — a4/u2 already grade distinct shapes)
+    # (r5 final5: a7 throughput-by-day out — a1/a4/a5/a13 keep the
+    # A-family and a7's day-bucket shape sits inside st1's graded
+    # windowed counts; c20 in — adaptive recrawl scheduling, the
+    # freshness policy that derives frontier.dequeue's next_fetch_time
+    # from observed change history, BIGINT-epoch exact)
     "a1_count_by_state", "a4_dedup_unique_key", "a5_group_stats",
-    "a7_throughput_by_day",
+    "c20_recrawl_schedule",
     # windows / sorts / limits (r4: w3 page-expand out — explode shape
     # now graded by f17; late-r4: w5b month-params out — date arith is a
     # scalar shape, f-family covers it; both stay oracle-gated in the tail)
@@ -681,8 +686,13 @@ GRADED_WINDOW = [
     # t1/t3 keep the family; t12 in — token-budget sequence packing, the
     # LLM-export op, plan-gated to ONE hash exchange; t2 stays
     # oracle-gated in the tail)
+    # (r5 final5: t4 fingerprint-stability out — the xxhash64 rolling
+    # fingerprint stays graded through d1's exact-dedup keys and t4
+    # remains oracle-gated in the tail; t19 in — DSIR importance
+    # weighting, the domain-matched data-SELECTION family the window
+    # lacked, integer-exact likelihood-ratio surrogate)
     "t1_token_count", "t3_langid_markers", "t12_token_packing",
-    "t4_fingerprint_stability",
+    "t19_dsir_importance",
     # dedup ladder
     "d1_exact_dedup", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
     # (r4 final: d4 n-gram-Jaccard verify out — the pairwise-verify shape

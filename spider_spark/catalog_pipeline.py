@@ -2491,3 +2491,57 @@ def c21_trap_detection(spark, sf_dir):
         F.sum(F.col("is_trap").cast("int")).cast("long").alias("n_traps"),
         (F.max("n_segs") - 1).cast("int").alias("max_depth"),
     )
+
+
+@q(
+    "i1_inverted_index",
+    # inverted-index construction (the crawl -> search handoff): per
+    # term, document frequency, total term frequency, and the md5 of
+    # the ASCENDING doc_id posting list — the ordered list itself is
+    # certified, not just counts
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         FROM documents WHERE length(trim(text)) > 0),
+       tf AS (SELECT term, doc_id, COUNT(*) AS tf
+              FROM toks GROUP BY term, doc_id)
+       SELECT term,
+              COUNT(*) AS df,
+              CAST(SUM(tf) AS BIGINT) AS tf_total,
+              md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+                  AS postings_md5
+       FROM tf GROUP BY term""",
+)
+def i1_inverted_index(spark, sf_dir):
+    """Inverted-index construction — the operator that turns a crawled
+    corpus into a searchable one (the reference crawls INTO a queryable
+    MySQL store; a web-scale pipeline builds postings instead).  Per
+    term: document frequency, total term frequency, and the ascending
+    doc_id posting list certified by md5 — so index CONTENT is graded,
+    not just statistics.  Plan shape: (term, doc_id) tf aggregation
+    with map-side combine (bounds stopword skew exactly like g3's
+    (dst, anchor) trick — a term appearing in every doc pre-aggregates
+    to one row per doc before the term shuffle), then the term rollup;
+    posting order comes from sort_array on the grouped result, never a
+    global sort.  At 100 TB postings stream to a length-prefixed store
+    segment per term shard (t13's windowed ordered write) instead of
+    collect_list; df/tf and sharding cost are identical."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    )
+    tf = docs.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("tf_total"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).cast("binary")
+        ).alias("postings_md5"),
+    )

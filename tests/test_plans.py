@@ -471,3 +471,17 @@ def test_c21_trap_scan_is_one_exchange(spark):
     assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 1
     assert "partial_count" in plan
     assert "Join" not in plan
+
+
+def test_i1_inverted_index_two_exchanges_stopword_bound(spark):
+    """i1: (term, doc_id) tf pre-aggregation (map-side partial) bounds
+    stopword skew before the term shuffle; posting order comes from
+    sort_array, never a global sort."""
+    import re
+
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["i1_inverted_index"](spark, SF_DIR), mode="simple")
+    assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 2
+    assert "partial_count" in plan
+    assert "rangepartitioning" not in plan
