@@ -2545,3 +2545,98 @@ def i1_inverted_index(spark, sf_dir):
             ).cast("binary")
         ).alias("postings_md5"),
     )
+
+
+@q(
+    "d11_fuzzy_link",
+    # fuzzy record linkage: title(d) = 'corp-DDDDDD-x' (len 13); the
+    # planted twin at d+1e6 gets '#' substitutions — even d: ONE at
+    # pos 6+d%7 (6..12), odd d: TWO at pos 10+d%3 and pos 13 — so
+    # dist alternates 1/2 and, with keys k1=substr(1,9)/k2=substr(10,4),
+    # at least one blocking key always survives (even d breaks exactly
+    # one zone; odd d's edits both land in k2)
+    """WITH b AS (
+         SELECT doc_id AS id,
+                'corp-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '-' ||
+                substr('abcdefghij', CAST(doc_id % 10 AS INT) + 1, 1) AS t
+         FROM documents),
+       m1 AS (SELECT id, t,
+                     CAST(CASE WHEN id % 2 = 0 THEN 6 + id % 7
+                          ELSE 10 + id % 3 END AS INT) AS p1
+              FROM b),
+       m2 AS (SELECT id, id % 2 AS par,
+                     substr(t, 1, p1 - 1) || '#' || substr(t, p1 + 1) AS t1
+              FROM m1),
+       tw AS (SELECT id + 1000000 AS id,
+                     CASE WHEN par = 0 THEN t1
+                          ELSE substr(t1, 1, 12) || '#' END AS t
+              FROM m2),
+       cand AS (
+         SELECT DISTINCT b.id AS id_a, tw.id AS id_b, b.t AS tl, tw.t AS tr
+         FROM b JOIN tw
+           ON substr(b.t, 1, 9) = substr(tw.t, 1, 9)
+           OR substr(b.t, 10, 4) = substr(tw.t, 10, 4))
+       SELECT id_a, id_b, CAST(levenshtein(tl, tr) AS INT) AS dist
+       FROM cand
+       WHERE levenshtein(tl, tr) <= 2 AND id_b - id_a = 1000000""",
+)
+def d11_fuzzy_link(spark, sf_dir):
+    """Fuzzy record linkage (functions/dedup.blocked_fuzzy_pairs):
+    multi-pass blocking + Levenshtein verify — the entity-matching mode
+    the other dedup tiers miss (typo'd company names / titles: token
+    shingles see different tokens, embeddings need a model; edit
+    distance is the classic answer).  Planted twins alternate distance
+    1 (even d, one substitution anywhere in pos 6-12) and 2 (odd d,
+    both edits inside the k2 suffix zone) — so the result grades BOTH
+    the verify distance and the multi-pass recall guarantee (any
+    single edit breaks at most one of the prefix/suffix keys; the
+    DuckDB twin re-derives candidates with an OR-join, fine at oracle
+    scale, while the engine unions two equi-joins — never a theta
+    join).  Restricted to the planted offset like d2/d10: legitimate
+    cross-doc distance-2 matches (e.g. d vs twin(d+10)) exist and both
+    engines would agree on them, but the offset filter keeps the
+    graded set corpus-independent."""
+    from .functions.dedup import blocked_fuzzy_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    d = F.col("id")
+    t = F.concat(
+        F.lit("corp-"),
+        F.lpad(d.cast("string"), 6, "0"),
+        F.lit("-"),
+        F.expr("substr('abcdefghij', cast(id % 10 as int) + 1, 1)"),
+    )
+    base = docs.select("id", t.alias("t"))
+    m1 = base.select(
+        "id",
+        "t",
+        F.when(d % 2 == 0, 6 + d % 7).otherwise(10 + d % 3).cast("int").alias("p1"),
+        (d % 2).alias("par"),
+    )
+    m2 = m1.select(
+        "id",
+        "par",
+        F.expr("concat(substr(t, 1, p1 - 1), '#', substr(t, p1 + 1))").alias("t1"),
+    )
+    twin = m2.select(
+        (d + 1_000_000).alias("id"),
+        F.when(F.col("par") == 0, F.col("t1"))
+        .otherwise(F.expr("concat(substr(t1, 1, 12), '#')"))
+        .alias("t"),
+    )
+    keyed = lambda df: df.select(  # noqa: E731  (tiny local shaping helper)
+        "id",
+        "t",
+        F.substring("t", 1, 9).alias("k1"),
+        F.substring("t", 10, 4).alias("k2"),
+    )
+    pairs = blocked_fuzzy_pairs(
+        keyed(base), keyed(twin), ["k1", "k2"], max_dist=2, id_col="id", text_col="t"
+    )
+    return pairs.filter(F.col("id_r") - F.col("id_l") == 1_000_000).select(
+        F.col("id_l").alias("id_a"),
+        F.col("id_r").alias("id_b"),
+        F.col("dist").cast("int").alias("dist"),
+    )

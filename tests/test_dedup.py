@@ -289,3 +289,36 @@ def test_containment_full_pairs_invisible_to_minhash_threshold(spark):
     cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     j = jaccard_verify(docs, cand, threshold=0.0).collect()[0]["jaccard"]
     assert j < 0.8, f"half-doc Jaccard {j} should sit below the near-dup threshold"
+
+
+def test_blocked_fuzzy_pairs_multipass_recall_and_verify(spark):
+    """d11's operator: a pair whose PREFIX key is broken by the edit
+    must still be found through the intact suffix key (and vice versa);
+    pairs past max_dist are dropped by the exact verify even when a
+    blocking key matches."""
+    from spider_spark.functions.dedup import blocked_fuzzy_pairs
+
+    left = spark.createDataFrame(
+        [(1, "alpha-0001-x"), (2, "alpha-0002-y"), (3, "alpha-0003-z")],
+        "id long, t string",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, "#lpha-0001-x"),   # edit in k1 -> found via k2
+            (102, "alpha-0002-#"),   # edit in k2 -> found via k1
+            (103, "alpha-####-z"),   # 4 edits: k1 broken, k2 intact -> candidate, verify kills
+        ],
+        "id long, t string",
+    )
+    key = lambda df: df.select(  # noqa: E731
+        "id", "t",
+        df.t.substr(1, 8).alias("k1"), df.t.substr(9, 4).alias("k2"),
+    )
+    got = {
+        (r.id_l, r.id_r): r.dist
+        for r in blocked_fuzzy_pairs(
+            key(left), key(right), ["k1", "k2"], max_dist=2, id_col="id", text_col="t"
+        ).collect()
+    }
+    assert got[(1, 101)] == 1 and got[(2, 102)] == 1
+    assert (3, 103) not in got, "verify must reject past max_dist"

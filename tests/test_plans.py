@@ -485,3 +485,14 @@ def test_i1_inverted_index_two_exchanges_stopword_bound(spark):
     assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 2
     assert "partial_count" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_d11_fuzzy_link_no_theta_join(spark):
+    """d11: multi-pass blocking must stay a union of equi-joins — a
+    Levenshtein theta-join (cartesian / broadcast-nested-loop) is the
+    failure mode that goes quadratic at 100 TB."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["d11_fuzzy_link"](spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
