@@ -2640,3 +2640,41 @@ def d11_fuzzy_link(spark, sf_dir):
         F.col("id_r").alias("id_b"),
         F.col("dist").cast("int").alias("dist"),
     )
+
+
+@q(
+    "a15_pivot_event_matrix",
+    # relational PIVOT: user x event_type count matrix with an explicit
+    # column list (the only scalable form — inferring pivot values needs
+    # an extra pass and unbounded width); CASE-WHEN twin is the
+    # engine-portable restatement
+    """SELECT user_id,
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+              CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+       FROM events GROUP BY user_id""",
+)
+def a15_pivot_event_matrix(spark, sf_dir):
+    """Relational PIVOT — long-to-wide reshaping (per-user event-type
+    count matrix, the feature-vector shape every behavioral model
+    ingests).  Uses Spark's native pivot WITH an explicit value list:
+    the values-less form runs a whole extra distinct pass to infer
+    columns and produces unbounded width — at 100 TB the explicit list
+    is the only honest form (same reasoning as the driver's fixed
+    schema contract).  Spark plans pivot as a TWO-phase aggregate —
+    (user, type) counts with map-side combine, then PivotFirst per
+    user — semantically the CASE-WHEN conditional aggregation the
+    oracle states; the pre-aggregation bounds hot-user skew the same
+    way g3/i1 bound hub/stopword skew."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    wide = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}")
+            for k in kinds
+        ],
+    )

@@ -496,3 +496,16 @@ def test_d11_fuzzy_link_no_theta_join(spark):
     plan = _plan(QUERIES["d11_fuzzy_link"](spark, SF_DIR), mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_a15_pivot_two_phase_partial_agg(spark):
+    """a15: explicit-values pivot must plan as the two-phase aggregate
+    (map-side (user, type) combine, then PivotFirst) — no distinct
+    inference pass, no extra job."""
+    import re
+
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["a15_pivot_event_matrix"](spark, SF_DIR), mode="simple")
+    assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 2
+    assert "partial_count" in plan
