@@ -2678,3 +2678,91 @@ def a15_pivot_event_matrix(spark, sf_dir):
             for k in kinds
         ],
     )
+
+
+@q(
+    "g4_bfs_2hop",
+    # k-hop BFS reachability over the g3 edge set (u -> (7u+13)%N and
+    # u -> (u*u+5)%N): per seed (doc_id < 10), distinct nodes reachable
+    # in 1 or 2 hops — the frontier-expansion primitive, integer-exact
+    """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+       e AS (
+         SELECT doc_id AS u, (7 * doc_id + 13) % n.n AS v FROM documents, n
+         UNION ALL
+         SELECT doc_id AS u, (doc_id * doc_id + 5) % n.n AS v
+         FROM documents, n),
+       s AS (SELECT doc_id AS seed FROM documents WHERE doc_id < 10),
+       h1 AS (SELECT s.seed, e.v FROM s JOIN e ON e.u = s.seed),
+       h2 AS (SELECT h1.seed, e.v FROM h1 JOIN e ON e.u = h1.v),
+       r AS (SELECT seed, v FROM h1 UNION SELECT seed, v FROM h2)
+       SELECT seed, COUNT(*) AS n_reach FROM r GROUP BY seed""",
+)
+def g4_bfs_2hop(spark, sf_dir):
+    """k-hop BFS reachability — the frontier-expansion primitive under
+    every crawl (this engine's rounds ARE BFS hops over the link graph)
+    and under graph dedup closure (d6/d7), graded standalone: per seed,
+    the distinct node set reachable within 2 hops of the g3 edge set.
+    Two equi-joins against the adjacency (hop = join, the d6 precedent)
+    + one distinct — all-integer, engine-exact.  At 100 TB the
+    adjacency is hash-partitioned on u once and both hop joins reuse
+    that partitioning; the seed side stays a broadcast.  The union
+    passes through UNION (set semantics) so revisited nodes collapse
+    exactly as a crawl's seen-set collapses them."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    n = docs.agg(F.count("*").alias("n"))
+    base = docs.crossJoin(F.broadcast(n))
+    e = base.select(
+        F.col("doc_id").alias("u"),
+        ((F.lit(7) * F.col("doc_id") + 13) % F.col("n")).alias("v"),
+    ).unionByName(
+        base.select(
+            F.col("doc_id").alias("u"),
+            ((F.col("doc_id") * F.col("doc_id") + 5) % F.col("n")).alias("v"),
+        )
+    )
+    s = docs.filter(F.col("doc_id") < 10).select(F.col("doc_id").alias("seed"))
+    h1 = F.broadcast(s).join(e, s.seed == e.u).select("seed", "v")
+    h2 = h1.withColumnRenamed("v", "u").join(e, "u").select("seed", "v")
+    reach = h1.unionByName(h2).distinct()
+    return reach.groupBy("seed").agg(F.count("*").alias("n_reach"))
+
+
+@q(
+    "a16_cohort_retention",
+    # cohort retention: users bucketed by first-event DAY (the events
+    # table spans one month, so month-grain would collapse to one row),
+    # counted by (cohort day, activity day) — days as strings so the
+    # grade never touches cross-engine timestamp hashing
+    """WITH ob AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS d FROM events),
+       c AS (SELECT user_id, MIN(d) AS cohort FROM ob GROUP BY user_id)
+       SELECT c.cohort, ob.d AS activity_day,
+              CAST(COUNT(DISTINCT ob.user_id) AS BIGINT) AS n_users
+       FROM ob JOIN c USING (user_id)
+       GROUP BY c.cohort, ob.d""",
+)
+def a16_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix — the standard lifecycle report (users
+    grouped by first-seen day, counted in every day they remained
+    active); for a crawler this is host-freshness by discovery cohort.
+    Buckets are formatted strings (engine-exact, no timestamp hashing;
+    session TZ pinned UTC for the NTZ cast, j9's pattern).  Plan: the
+    cohort dim is one map-side-combined aggregate over (user, month)
+    pairs, joined back and re-aggregated — the distinct-count shuffle
+    keys on (cohort, month, user), never a global distinct."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ob = _t(spark, sf_dir, "events").select(
+            "user_id",
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("d"),
+        )
+        c = ob.groupBy("user_id").agg(F.min("d").alias("cohort"))
+        return (
+            ob.join(c, "user_id")
+            .groupBy("cohort", F.col("d").alias("activity_day"))
+            .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
