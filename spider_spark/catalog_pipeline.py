@@ -2766,3 +2766,54 @@ def a16_cohort_retention(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+@q(
+    "f21_url_parse",
+    # JVM URL decomposition (parse_url) vs a regex twin over the same
+    # constructed URLs: https://h{d%50}.example/p{d%7}/s{d%11}?x={d%3}&y={d%5}
+    """WITH u AS (
+         SELECT doc_id,
+                'https://h' || CAST(doc_id % 50 AS VARCHAR) ||
+                '.example/p' || CAST(doc_id % 7 AS VARCHAR) ||
+                '/s' || CAST(doc_id % 11 AS VARCHAR) ||
+                '?x=' || CAST(doc_id % 3 AS VARCHAR) ||
+                '&y=' || CAST(doc_id % 5 AS VARCHAR) AS url
+         FROM documents)
+       SELECT doc_id,
+              regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+              regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+              regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+              regexp_extract(url, '[?&]y=([^&]*)', 1) AS q_y
+       FROM u""",
+)
+def f21_url_parse(spark, sf_dir):
+    """URL decomposition as a first-class JVM scalar — the hot-path
+    surgery under canonicalization, host-bucketing, and the politeness
+    key (the engine's canon.py does the full normalization in an Arrow
+    UDF; THIS entry proves the pure-decomposition piece stays
+    whole-stage-codegen with Spark's built-in parse_url, no python).
+    Construct -> parse identity (t16's pattern): the URLs come from
+    doc_id formulas, the oracle re-derives every component with plain
+    regexes, so a parse_url semantic surprise (encoding, default
+    ports, query ordering) would hash-mismatch immediately.  At 100 TB
+    this runs at scan speed — zero exchanges, one projection."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (d % 50).cast("string"),
+        F.lit(".example/p"), (d % 7).cast("string"),
+        F.lit("/s"), (d % 11).cast("string"),
+        F.lit("?x="), (d % 3).cast("string"),
+        F.lit("&y="), (d % 5).cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("y")).alias("q_y"),
+    )
