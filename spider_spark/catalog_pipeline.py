@@ -2817,3 +2817,35 @@ def f21_url_parse(spark, sf_dir):
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("y")).alias("q_y"),
     )
+
+
+@q(
+    "u5_intersect",
+    # INTERSECT — the §2.6 set-op shape u1 (UNION) / u2 (EXCEPT) leave
+    # ungraded: users with BOTH a big click and a big purchase (> 150
+    # keeps the intersection a proper non-empty subset at every SF —
+    # the unfiltered form matched ALL users, a near-vacuous grade)
+    """SELECT user_id FROM events
+       WHERE event_type = 'click' AND value > 150
+       INTERSECT
+       SELECT user_id FROM events
+       WHERE event_type = 'purchase' AND value > 150""",
+)
+def u5_intersect(spark, sf_dir):
+    """Set intersection — completes the set-op ladder (u1 UNION,
+    u2 EXCEPT, u3 UNION ALL): the converting-users query (a big click
+    AND a big purchase), which in the crawl engine is the
+    re-seen-on-two-channels shape.  Thresholded so the result is a
+    proper subset at every SF (5/15, 31/150, 344/1500 users) — the
+    unfiltered form returned every user, the u2-round-2 vacuity class.
+    Spark plans intersect() as a left-semi after per-side distinct
+    partial aggregation — one key shuffle per side, no join
+    explosion."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.filter((F.col("event_type") == "click") & (F.col("value") > 150)).select(
+        "user_id"
+    )
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150)
+    ).select("user_id")
+    return c.intersect(p)
