@@ -2849,3 +2849,72 @@ def u5_intersect(spark, sf_dir):
         (F.col("event_type") == "purchase") & (F.col("value") > 150)
     ).select("user_id")
     return c.intersect(p)
+
+
+@q(
+    "g5_triangle_count",
+    # exact triangle counting by oriented edge enumeration: undirected
+    # ring+chord graph (u->u+1; u->u+2 when u%3<>0; u->(7u+13)%N, all
+    # mod N), edges canonicalized low->high so each triangle is
+    # enumerated exactly once as a<b<c; graded per anchor vertex
+    """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+       raw AS (
+         SELECT doc_id AS u, (doc_id + 1) % n.n AS v FROM documents, n
+         UNION ALL
+         SELECT doc_id, (doc_id + 2) % n.n FROM documents, n
+         WHERE doc_id % 3 <> 0
+         UNION ALL
+         SELECT doc_id, (7 * doc_id + 13) % n.n FROM documents, n),
+       e AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+             FROM raw WHERE u <> v),
+       t AS (SELECT e1.a FROM e e1
+             JOIN e e2 ON e2.a = e1.b
+             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+       SELECT a AS anchor, COUNT(*) AS n_tri FROM t GROUP BY a""",
+)
+def g5_triangle_count(spark, sf_dir):
+    """Exact triangle counting — the graph-quality primitive under
+    community detection and link-spam scoring (a crawl's mutual-link
+    cliques), and the canonical example of making an O(n^3) pattern
+    scale: orient every undirected edge low->high, enumerate each
+    triangle exactly once as a<b<c with TWO equi-joins, never a
+    cartesian.  The ring+chord construction (u->u+1 always, u->u+2
+    only when u%3<>0, plus the 7u+13 long chord) makes the per-anchor
+    count data-dependent, so the grade certifies the enumeration, not
+    a formula.  At 100 TB the production refinement is degree
+    ordering (orient toward the higher-degree endpoint) so hub
+    vertices never fan out — same plan shape, different orientation
+    key.  The canonical edge list is eagerly checkpointed (s13's
+    materialize precedent): without it Spark recomputes the whole
+    union+distinct subtree for every self-join reference — 9 corpus
+    scans for a 3-reference pattern."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    n = docs.agg(F.count("*").alias("n"))
+    base = docs.crossJoin(F.broadcast(n))
+    d = F.col("doc_id")
+    raw = (
+        base.select(d.alias("u"), ((d + 1) % F.col("n")).alias("v"))
+        .unionByName(
+            base.filter(d % 3 != 0).select(
+                d.alias("u"), ((d + 2) % F.col("n")).alias("v")
+            )
+        )
+        .unionByName(
+            base.select(d.alias("u"), ((F.lit(7) * d + 13) % F.col("n")).alias("v"))
+        )
+    )
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    t = (
+        e.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+    )
+    return t.groupBy(F.col("a").alias("anchor")).agg(F.count("*").alias("n_tri"))

@@ -509,3 +509,15 @@ def test_a15_pivot_two_phase_partial_agg(spark):
     plan = _plan(QUERIES["a15_pivot_event_matrix"](spark, SF_DIR), mode="simple")
     assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 2
     assert "partial_count" in plan
+
+
+def test_g5_triangles_equi_joins_on_checkpointed_edges(spark):
+    """g5: both triangle joins must be hash equi-joins over the ONE
+    checkpointed edge list — no nested-loop, no recomputation of the
+    union+distinct subtree per self-join reference."""
+    from spider_spark.catalog import QUERIES
+
+    plan = QUERIES["g5_triangle_count"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoop") == 0
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan ExistingRDD") == 3  # the checkpoint, scanned thrice
