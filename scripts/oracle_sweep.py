@@ -10,6 +10,9 @@ columns sorted by name, each column's values sorted independently
 (pandas sort_values), then hashed.
 
 Usage:  python scripts/oracle_sweep.py [sf0.1] [out.json]
+        python scripts/oracle_sweep.py sf0.01 --names a17_x,w10_y
+(--names sweeps the given entries instead of the graded window —
+the validator for new tail entries at every SF.)
 """
 
 from __future__ import annotations
@@ -68,8 +71,14 @@ def _driver_hash(cols, rows):
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "sf0.1"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    argv = list(sys.argv[1:])
+    names = None
+    if "--names" in argv:
+        i = argv.index("--names")
+        names = argv[i + 1].split(",")
+        del argv[i : i + 2]
+    sf = argv[0] if len(argv) > 0 else "sf0.1"
+    out_path = argv[1] if len(argv) > 1 else None
     sf_dir = f"/root/testdata/{sf}"
 
     from spider_spark.catalog import GRADED_WINDOW, ORACLES, QUERIES
@@ -82,7 +91,7 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     detail, bad = [], []
-    for name in GRADED_WINDOW:
+    for name in names if names is not None else GRADED_WINDOW:
         sdf = QUERIES[name](spark, sf_dir)
         scols = [c.lower() for c in sdf.columns]
         srows = [tuple(r) for r in sdf.collect()]

@@ -2918,3 +2918,247 @@ def g5_triangle_count(spark, sf_dir):
         .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
     )
     return t.groupBy(F.col("a").alias("anchor")).agg(F.count("*").alias("n_tri"))
+
+
+@q(
+    "a17_rollup_report",
+    # hierarchical ROLLUP: (lang, source) subtotals + grand total in ONE
+    # pass, GROUPING flags disambiguate rolled-up keys from real values
+    """SELECT coalesce(lang, '<all>') AS lang_k,
+              coalesce(source, '<all>') AS source_k,
+              CAST(GROUPING(lang) AS INT) AS g_lang,
+              CAST(GROUPING(source) AS INT) AS g_source,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS chars_total
+       FROM documents GROUP BY ROLLUP (lang, source)""",
+)
+def a17_rollup_report(spark, sf_dir):
+    """Hierarchical ROLLUP — the multi-grain report shape (per
+    lang+source, per lang, grand total) computed in ONE logical pass
+    instead of three unioned scans (the reference's report queries
+    re-scan per grain).  Spark plans rollup as an Expand (3 grouping
+    sets per input row) feeding one hash aggregate with map-side
+    partial — at 100 TB that is 3x the aggregate input but still a
+    single corpus scan and a single shuffle, which beats three scans
+    whenever the scan dominates (it always does).  GROUPING flags are
+    emitted because coalescing NULL group keys to a sentinel is
+    ambiguous the moment a real key takes the sentinel value — the
+    flag pair is the honest disambiguation, identical in both
+    engines."""
+    docs = _t(spark, sf_dir, "documents")
+    r = docs.rollup("lang", "source").agg(
+        F.grouping("lang").cast("int").alias("g_lang"),
+        F.grouping("source").cast("int").alias("g_source"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
+    return r.select(
+        F.coalesce("lang", F.lit("<all>")).alias("lang_k"),
+        F.coalesce("source", F.lit("<all>")).alias("source_k"),
+        "g_lang",
+        "g_source",
+        "n_docs",
+        "chars_total",
+    )
+
+
+@q(
+    "w10_range_frame_sum",
+    # time-RANGE window frame: per event, the trailing 1-hour sum of a
+    # milli-scaled integer surrogate (integer addition is
+    # order-independent, so the frame sum hashes exactly); RANGE peers
+    # at equal ts_us are included by both engines by definition
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                         CAST(FLOOR(value * 1000) AS BIGINT) AS v_mil
+                  FROM events)
+       SELECT event_id, user_id, ts_us,
+              CAST(SUM(v_mil) OVER (PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS win_sum_mil
+       FROM e""",
+)
+def w10_range_frame_sum(spark, sf_dir):
+    """Time-RANGE window frame — the trailing-window aggregate (per
+    event: this user's last-hour activity) that ROWS frames cannot
+    express when event spacing is irregular.  Both engines order by
+    BIGINT epoch-micros and use a numeric RANGE frame of 3.6e9 us, so
+    the frame boundary and the equal-ts peer rule are bit-identical;
+    the summand is floor(value*1000) as BIGINT because a float running
+    sum is accumulation-order-dependent (the st3 lesson) while integer
+    addition commutes.  The NTZ->unix_micros cast is pinned to UTC
+    (j9 precedent) to match DuckDB's epoch_us.  Plan: ONE hash
+    exchange on user_id; the frame scan is a per-partition sorted
+    sliding sum — no shuffle amplification at 100 TB, and skew is
+    bounded by the per-user event count, not corpus size."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.floor(F.col("value") * 1000).cast("long").alias("v_mil"),
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_us")
+            .rangeBetween(-3_600_000_000, 0)
+        )
+        return ev.select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.sum("v_mil").over(w).cast("long").alias("win_sum_mil"),
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+@q(
+    "i2_bm25_topk",
+    # BM25-shaped retrieval over the i1 index: integer-surrogate score
+    # (t18 precedent — BIGINT div instead of log idf) so ranking is
+    # engine-exact; top-5 docs per query term
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         FROM documents WHERE length(trim(text)) > 0),
+       dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+              FROM toks GROUP BY doc_id),
+       stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(dl) // COUNT(*) AS BIGINT) AS avgdl
+                 FROM dl),
+       tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks WHERE term IN ('vector', 'stream', 'hash')
+              GROUP BY doc_id, term),
+       df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+       scored AS (
+         SELECT tf.term, tf.doc_id,
+                (stats.n_docs - df.df + 1) *
+                ((1000000 * 3 * tf.tf * stats.avgdl) //
+                 (tf.tf * stats.avgdl + stats.avgdl + dl.dl)) AS score
+         FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
+         CROSS JOIN stats)
+       SELECT term, doc_id, CAST(score AS BIGINT) AS score,
+              CAST(rnk AS INT) AS rnk
+       FROM (SELECT *, row_number() OVER
+                (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk
+             FROM scored)
+       WHERE rnk <= 5""",
+)
+def i2_bm25_topk(spark, sf_dir):
+    """BM25 retrieval over the crawled corpus — the query side of the
+    i1 inverted index (crawl -> index -> SERVE).  The score is the
+    BM25 saturation curve at k1=2, b=1/2 cleared of fractions:
+    denom = tf + 1 + dl/avgdl, multiplied through by avgdl so
+    sat = 3*tf*avgdl / (tf*avgdl + avgdl + dl), held as
+    (1e6 * num) div denom in BIGINT, then weighted by the integer idf
+    surrogate (n_docs - df + 1) — the t18 move (BIGINT div instead of
+    ln) so rank order is engine-exact with no 1-ulp flips (the t7
+    lesson); avgdl itself is SUM(dl) div N, integer both sides.
+    Plan: the term filter prunes the explode BEFORE any shuffle
+    (three terms survive), df and the corpus stats are 1-to-3-row
+    broadcasts, and the per-term top-5 is a window over only matching
+    docs — at 100 TB the candidate set is the posting list, never the
+    corpus."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("sum(dl) div count(*)").alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin("vector", "stream", "hash"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            (
+                (F.col("n_docs") - F.col("df") + 1)
+                * F.expr(
+                    "(1000000 * 3 * tf * avgdl) div (tf * avgdl + avgdl + dl)"
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "term",
+            "doc_id",
+            F.col("score").cast("long").alias("score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@q(
+    "t21_bpe_merge_rank",
+    # BPE vocabulary induction, the argmax step: adjacent token-pair
+    # frequencies over the corpus, top-10 merge candidates (cnt DESC,
+    # pair ASC is a total order, so the cut is deterministic)
+    """WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+                  FROM documents
+                  WHERE length(trim(text)) > 0
+                    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 2),
+       p AS (SELECT unnest(list_transform(
+                      list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                      x -> x[1] || ' ' || x[2])) AS pair FROM t),
+       c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM p GROUP BY pair)
+       SELECT CAST(rnk AS INT) AS rnk, pair, cnt
+       FROM (SELECT pair, cnt,
+                    row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+             FROM c)
+       WHERE rnk <= 10""",
+)
+def t21_bpe_merge_rank(spark, sf_dir):
+    """BPE merge-candidate ranking — the argmax step of tokenizer
+    training (count adjacent pairs, merge the most frequent, repeat):
+    the one training-data operator that runs BEFORE any tokenizer
+    exists.  Adjacency comes from zip_with over two shifted slices of
+    the token array — all-JVM, no window, no positional explode — so
+    each document contributes its n-1 pairs in one codegen projection;
+    the global top-10 is orderBy+limit (TakeOrdered, the w2 precedent:
+    a k-row heap per partition then a k-row merge, never a global
+    sort), with row_number applied AFTER the limit so the rank window
+    touches 10 rows, not the pair vocabulary.  Ties are cut on
+    (cnt DESC, pair ASC) — a total order, so the boundary is
+    deterministic in both engines.  At 100 TB the pair count is
+    bounded by distinct-bigram count and pre-aggregates map-side; real
+    BPE iterates this job with the previous round's merges applied at
+    tokenization time."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(F.split(F.trim("text"), r"\s+").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("pair")
+    )
+    c = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    top = c.orderBy(F.col("cnt").desc(), "pair").limit(10)
+    w = Window.orderBy(F.col("cnt").desc(), "pair")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rnk"), "pair", "cnt"
+    )
