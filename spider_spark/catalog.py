@@ -674,7 +674,13 @@ GRADED_WINDOW = [
     # f4 stays oracle-gated in the tail.  a13 in — certified-exact heavy
     # hitters: bounded-memory Misra-Gries candidates + exact recount,
     # the op that keeps top-k affordable at 10^9 distinct keys)
-    "f1_json_parse", "a13_heavy_hitters", "f17_explode_tokens",
+    # (r5 final6: f17 explode-tokens out — its explode + per-key top-k
+    # plan shape is contained inside i2's scoring pipeline and f1 keeps
+    # the F-family green; i2 in — BM25 retrieval, the SERVE side of the
+    # i1 inverted index and the retrieval family the window lacked,
+    # BIGINT-div scoring so rank order is engine-exact; f17 stays
+    # oracle-gated in the tail)
+    "f1_json_parse", "a13_heavy_hitters", "i2_bm25_topk",
     # Structured Streaming (late-r4, previously never driver-graded):
     # watermarked windowed agg, the applyInPandasWithState stateful
     # operator, and (r4 cont.) the watermarked stream-stream interval

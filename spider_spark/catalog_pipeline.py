@@ -3162,3 +3162,255 @@ def t21_bpe_merge_rank(spark, sf_dir):
     return top.select(
         F.row_number().over(w).cast("int").alias("rnk"), "pair", "cnt"
     )
+
+
+@q(
+    "f22_surt_key",
+    # SURT-style storage key: reversed host labels + path, the
+    # prefix-locality row key web archives cluster crawl storage on;
+    # construct->transform identity over f21's URL formulas (+ a www
+    # label on every third host so multi-label reversal is exercised)
+    """WITH u AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+                'h' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host,
+                '/p' || CAST(doc_id % 7 AS VARCHAR) ||
+                '/s' || CAST(doc_id % 11 AS VARCHAR) AS path
+         FROM documents)
+       SELECT doc_id,
+              array_to_string(list_reverse(string_split(host, '.')), '.')
+                  AS surt_host,
+              array_to_string(list_reverse(string_split(host, '.')), '.')
+                  || ')' || path AS surt_key
+       FROM u""",
+)
+def f22_surt_key(spark, sf_dir):
+    """SURT storage key — reversed host labels (www.h0.example ->
+    example.h0.www) plus path, the row-key form web archives and
+    BigTable-style crawl stores sort on so one domain's pages are one
+    contiguous key range (range scans, per-domain splits, and prefix
+    compression all fall out of the reversal).  The engine's own
+    bucket partitioning hashes the host (storage pmod buckets); THIS
+    is the complementary layout for range-scan-heavy stores, kept
+    all-JVM: split / reverse / concat_ws in one codegen projection,
+    zero exchanges.  Construct -> transform identity (f21's pattern)
+    with a www label on every third host so multi-label reversal is
+    actually exercised, not just 2-label hosts."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    d = F.col("doc_id")
+    host = F.concat(
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("h"), (d % 50).cast("string"), F.lit(".example"),
+    )
+    path = F.concat(
+        F.lit("/p"), (d % 7).cast("string"),
+        F.lit("/s"), (d % 11).cast("string"),
+    )
+    u = docs.select("doc_id", host.alias("host"), path.alias("path"))
+    surt_host = F.concat_ws(".", F.reverse(F.split(F.col("host"), r"\.")))
+    return u.select(
+        "doc_id",
+        surt_host.alias("surt_host"),
+        F.concat(surt_host, F.lit(")"), F.col("path")).alias("surt_key"),
+    )
+
+
+@q(
+    "a18_funnel_conversion",
+    # ordered funnel: view -> first click AFTER the first view -> first
+    # purchase AFTER that click; stage reached per user, BIGINT
+    # epoch-micros so every step timestamp hashes exactly
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                  FROM events),
+       v AS (SELECT user_id, MIN(ts_us) AS t_view FROM e
+             WHERE event_type = 'view' GROUP BY user_id),
+       c AS (SELECT e.user_id, MIN(e.ts_us) AS t_click
+             FROM e JOIN v USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts_us > v.t_view
+             GROUP BY e.user_id),
+       p AS (SELECT e.user_id, MIN(e.ts_us) AS t_buy
+             FROM e JOIN c USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts_us > c.t_click
+             GROUP BY e.user_id)
+       SELECT v.user_id, CAST(v.t_view AS BIGINT) AS t_view,
+              CAST(c.t_click AS BIGINT) AS t_click,
+              CAST(p.t_buy AS BIGINT) AS t_buy,
+              CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+                     + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END
+                   AS INT) AS stage
+       FROM v LEFT JOIN c ON c.user_id = v.user_id
+              LEFT JOIN p ON p.user_id = v.user_id""",
+)
+def a18_funnel_conversion(spark, sf_dir):
+    """Ordered funnel conversion — the sequence-constrained aggregate
+    (view, THEN click, THEN purchase) that a15's unordered pivot
+    cannot express: each step's timestamp must follow the previous
+    step's, so stage counts are order-sensitive, not mere presence
+    flags.  Step k is MIN(ts) over events of kind k strictly after
+    step k-1's time — exact BIGINT epoch-micros (UTC-pinned NTZ cast,
+    j9 precedent).  Plan: every aggregate and every join keys on
+    user_id, so Catalyst reuses ONE hash partitioning across the
+    whole cascade — at 100 TB the funnel costs one shuffle of the
+    events table, then co-partitioned step joins; no window over the
+    raw event stream is ever needed."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        e = _t(spark, sf_dir, "events").select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        v = (
+            e.filter(F.col("event_type") == "view")
+            .groupBy("user_id")
+            .agg(F.min("ts_us").alias("t_view"))
+        )
+        c = (
+            e.join(v, "user_id")
+            .filter((F.col("event_type") == "click") & (F.col("ts_us") > F.col("t_view")))
+            .groupBy("user_id")
+            .agg(F.min("ts_us").alias("t_click"))
+        )
+        p = (
+            e.join(c, "user_id")
+            .filter(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") > F.col("t_click"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts_us").alias("t_buy"))
+        )
+        stage = (
+            F.lit(1)
+            + F.when(F.col("t_click").isNull(), 0).otherwise(1)
+            + F.when(F.col("t_buy").isNull(), 0).otherwise(1)
+        )
+        return (
+            v.join(c, "user_id", "left")
+            .join(p, "user_id", "left")
+            .select(
+                "user_id", "t_view", "t_click", "t_buy",
+                stage.cast("int").alias("stage"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+@q(
+    "a19_growth_accounting",
+    # per-day growth accounting: active users, NEW users (first-ever
+    # day == day), and cumulative reach (running sum of new) — the
+    # cumulative-distinct problem restated as first-touch attribution
+    # so it needs no expanding-window distinct
+    """WITH e AS (SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+                  FROM events),
+       fd AS (SELECT user_id, MIN(day) AS first_day FROM e GROUP BY user_id),
+       act AS (SELECT day, COUNT(DISTINCT user_id) AS n_active
+               FROM e GROUP BY day),
+       nw AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+              FROM fd GROUP BY first_day)
+       SELECT act.day AS day, act.n_active,
+              COALESCE(nw.n_new, 0) AS n_new,
+              CAST(SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY act.day)
+                   AS BIGINT) AS cum_reach
+       FROM act LEFT JOIN nw ON nw.day = act.day""",
+)
+def a19_growth_accounting(spark, sf_dir):
+    """Growth accounting — per day: active users, genuinely NEW users,
+    and cumulative reach.  Cumulative distinct-to-date is the classic
+    trap (an expanding-window COUNT(DISTINCT) rescans the whole
+    history per day); restating it as first-touch attribution — each
+    user contributes to exactly the day of their MIN(day), then a
+    running sum over the per-day aggregate — makes it two ordinary
+    aggregates plus a window over ~one row per DAY, not per event.
+    Day labels are strings (a16's lesson: string buckets hash
+    identically across engines; UTC-pinned date cast).  At 100 TB
+    both aggregates pre-combine map-side and the running sum runs on
+    the day-grain table, which is thousands of rows forever."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        e = _t(spark, sf_dir, "events").select(
+            "user_id",
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"),
+        )
+        fd = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+        act = e.groupBy("day").agg(F.countDistinct("user_id").alias("n_active"))
+        nw = fd.groupBy(F.col("first_day").alias("day")).agg(
+            F.count("*").alias("n_new")
+        )
+        joined = act.join(nw, "day", "left").select(
+            "day",
+            "n_active",
+            F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
+        )
+        w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        return joined.select(
+            "day",
+            "n_active",
+            "n_new",
+            F.sum("n_new").over(w).cast("long").alias("cum_reach"),
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+@q(
+    "c22_scd2_dim",
+    # SCD2 dimension versioning: each order opens a new half-open
+    # validity interval per customer; valid_to = next version's
+    # valid_from, open version capped at year-9999 micros
+    """WITH o AS (
+         SELECT o_custkey, epoch_us(o_orderdate) AS vf,
+                row_number() OVER
+                  (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS ver,
+                lead(epoch_us(o_orderdate)) OVER
+                  (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS vt
+         FROM orders)
+       SELECT o_custkey, CAST(ver AS INT) AS ver,
+              CAST(vf AS BIGINT) AS valid_from_us,
+              CAST(COALESCE(vt, 253402300800000000) AS BIGINT) AS valid_to_us,
+              CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+       FROM o""",
+)
+def c22_scd2_dim(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) history build — the
+    warehouse versioning shape the lakehouse ladder stores but never
+    derived: each change event opens a half-open validity interval
+    [valid_from, next change), the latest version stays open (capped
+    at year-9999 micros) and flagged current.  This is what turns an
+    append-only change log (the store's MERGE input) into an as-of
+    joinable dimension — j8's as-of join CONSUMES exactly this shape.
+    Deterministic under ties via the (date, orderkey) compound sort
+    key; BIGINT epoch-micros, UTC-pinned.  Plan: ONE hash exchange on
+    the customer key serves both window functions; at 100 TB version
+    chains are per-key and short, so no skew amplification."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("vf"),
+        )
+        w = Window.partitionBy("o_custkey").orderBy("vf", "o_orderkey")
+        return o.select(
+            "o_custkey",
+            F.row_number().over(w).cast("int").alias("ver"),
+            F.col("vf").alias("valid_from_us"),
+            F.coalesce(
+                F.lead("vf").over(w), F.lit(253402300800000000)
+            ).alias("valid_to_us"),
+            F.when(F.lead("vf").over(w).isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_current"),
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
