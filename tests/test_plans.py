@@ -521,3 +521,63 @@ def test_g5_triangles_equi_joins_on_checkpointed_edges(spark):
     assert plan.count("BroadcastNestedLoop") == 0
     assert "CartesianProduct" not in plan
     assert plan.count("Scan ExistingRDD") == 3  # the checkpoint, scanned thrice
+
+
+def test_i2_bm25_candidates_pruned_and_stats_broadcast(spark):
+    """i2: the query-term filter must prune the exploded token stream
+    BEFORE any shuffle (the candidate set is the posting list, never
+    the corpus), df/stats must arrive by broadcast, and the per-term
+    top-5 must never be a global sort."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["i2_bm25_topk"](spark, SF_DIR), mode="simple")
+    assert plan.count("BroadcastExchange") >= 2  # df + corpus stats
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    # the isin prune sits below the explode's first aggregate
+    assert "vector" in plan and "stream" in plan
+
+
+def test_t21_bpe_topk_is_takeordered(spark):
+    """t21: the global top-10 must be TakeOrdered (k-row heap per
+    partition + k-row merge), never a global sort of the pair
+    vocabulary; the rank window touches only the 10 surviving rows."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["t21_bpe_merge_rank"](spark, SF_DIR), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_a18_funnel_reuses_user_partitioning(spark):
+    """a18: every aggregate and join keys on user_id — the whole
+    cascade must cost ONE exchange of the events scan per step kind,
+    with no range partitioning and no nested loops."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["a18_funnel_conversion"](spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_a19_running_sum_after_day_grain_agg(spark):
+    """a19: the running sum must run over the aggregated day-grain
+    table (a single-partition window over ~30 rows), with both
+    aggregates partially combined map-side."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["a19_growth_accounting"](spark, SF_DIR), mode="simple")
+    assert "partial_count" in plan or "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_c22_scd2_single_exchange(spark):
+    """c22: one hash exchange on the customer key serves both window
+    functions (row_number + lead share the window spec)."""
+    import re
+
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["c22_scd2_dim"](spark, SF_DIR), mode="simple")
+    assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 1
