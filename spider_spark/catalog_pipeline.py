@@ -3414,3 +3414,163 @@ def c22_scd2_dim(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+@q(
+    "i3_phrase_query",
+    # positional phrase query over the i1/i2 corpus: exact-adjacency
+    # match for the 2-token phrase 'order fast' (t21's top merge pair),
+    # per doc: occurrence count + first position (1-based)
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                  FROM documents
+                  WHERE length(trim(text)) > 0
+                    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 2),
+       p AS (SELECT doc_id,
+                    unnest(list_transform(
+                      list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                      x -> x[1] || ' ' || x[2])) AS pair,
+                    unnest(generate_series(1, len(toks) - 1)) AS pos
+             FROM t)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+              CAST(MIN(pos) AS INT) AS first_pos
+       FROM p WHERE pair = 'order fast' GROUP BY doc_id""",
+)
+def i3_phrase_query(spark, sf_dir):
+    """Positional phrase query — the third rung of the retrieval
+    ladder (i1 builds the index, i2 ranks by term, THIS resolves
+    exact adjacency, the query class that needs positions, not just
+    postings).  Bigrams come from the t21 zip_with-over-shifted-slices
+    trick with posexplode supplying the position — so the phrase
+    test is a plain equality filter that Catalyst pushes below the
+    aggregate, and only matching bigrams ever reach the shuffle.  In
+    a real positional index the same result comes from intersecting
+    two posting lists on (doc, pos+1 == pos); here the corpus-side
+    derivation IS the grade, exercised against the phrase that t21
+    certifies as the corpus's most frequent pair.  At 100 TB: scan,
+    projection, filter, one partial-agg exchange — nothing else."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(F.col("doc_id"), F.split(F.trim("text"), r"\s+").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("pos0", "pair"),
+    )
+    return (
+        pairs.filter(F.col("pair") == "order fast")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_occ"),
+            (F.min("pos0") + 1).cast("int").alias("first_pos"),
+        )
+    )
+
+
+@q(
+    "a20_event_transitions",
+    # first-order behavioral transition matrix: per user, consecutive
+    # event-type bigrams ordered by (ts, event_id); global counts
+    """WITH e AS (
+         SELECT user_id, event_type,
+                lead(event_type) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         FROM events)
+       SELECT event_type AS prev_type, next_type,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM e WHERE next_type IS NOT NULL
+       GROUP BY event_type, next_type""",
+)
+def a20_event_transitions(spark, sf_dir):
+    """First-order behavioral transition matrix — the Markov-chain
+    estimate under session replay, anomaly scoring, and crawl-trap
+    heuristics (c21 scans URL segments for self-loops; THIS is the
+    behavioral analog over event streams).  Consecutive event pairs
+    come from ONE lead window per user with the (ts, event_id)
+    compound sort key making same-timestamp ties deterministic (the
+    w6 rule), then a global (prev, next) count — 5x5 rows out.  At
+    100 TB: one hash exchange on user_id for the window, then the
+    transition aggregate pre-combines map-side to at most |types|^2
+    rows per partition before its shuffle."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        t.filter(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "s15_random_projection",
+    # sign-random-projection dimensionality reduction over int8 codes:
+    # 4 output dims, sign(i,j) = +1 iff ((i+1)*(2j+3)) % 11 < 6 with
+    # i 0-based — all-integer after s9's engine-exact quantization
+    """WITH s AS (SELECT vec_id, embedding,
+           127.0 / list_aggregate(list_transform(embedding, x -> abs(x)), 'max') AS sc
+       FROM embeddings),
+       qd AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(FLOOR(x * sc + 0.5) AS BIGINT)) AS q
+              FROM s)
+       SELECT vec_id,
+         CAST(list_aggregate(list_transform(q, (x, i) ->
+           x * (CASE WHEN ((i) * 5) % 11 < 6 THEN 1 ELSE -1 END)), 'sum') AS BIGINT) AS proj_0,
+         CAST(list_aggregate(list_transform(q, (x, i) ->
+           x * (CASE WHEN ((i) * 7) % 11 < 6 THEN 1 ELSE -1 END)), 'sum') AS BIGINT) AS proj_1,
+         CAST(list_aggregate(list_transform(q, (x, i) ->
+           x * (CASE WHEN ((i) * 9) % 11 < 6 THEN 1 ELSE -1 END)), 'sum') AS BIGINT) AS proj_2,
+         CAST(list_aggregate(list_transform(q, (x, i) ->
+           x * (CASE WHEN ((i) * 11) % 13 < 7 THEN 1 ELSE -1 END)), 'sum') AS BIGINT) AS proj_3
+       FROM qd""",
+)
+def s15_random_projection(spark, sf_dir):
+    """Sign-random-projection dimensionality reduction — the 64d -> 4d
+    compression that LSH signatures, coarse routing, and cheap near-dup
+    blocking all sit on.  The projection matrix is a deterministic
+    +-1 pattern keyed on (element index, output dim) via small-modulus
+    arithmetic (mod-2 of any LINEAR index mix degenerates to parity
+    stripes — the sign pattern must come from a non-power-of-two
+    modulus), applied to s9's int8 codes so every product and sum is
+    BIGINT and engine-exact; DuckDB's 1-based lambda index vs Spark's
+    0-based is reconciled by shifting the multiplier onto (i+1).
+    All-JVM: one transform + aggregate per output dim, one codegen
+    projection, zero exchanges."""
+    e = _t(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform("embedding", lambda v: F.abs(v)))
+    sc = F.lit(127.0) / mx
+    q = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") * sc + F.lit(0.5)).cast("long"),
+    )
+
+    def proj(mult, mod, half):
+        # DuckDB's lambda index is 1-based; Spark's is 0-based, so the
+        # Spark side uses (i + 1) * mult to match DuckDB's i * mult.
+        return F.aggregate(
+            F.zip_with(
+                q,
+                F.sequence(F.lit(0), F.size("embedding") - 1),
+                lambda x, i: F.when(((i + 1) * mult) % mod < half, x).otherwise(-x),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    return e.select(
+        "vec_id",
+        proj(5, 11, 6).alias("proj_0"),
+        proj(7, 11, 6).alias("proj_1"),
+        proj(9, 11, 6).alias("proj_2"),
+        proj(11, 13, 7).alias("proj_3"),
+    )

@@ -581,3 +581,37 @@ def test_c22_scd2_single_exchange(spark):
 
     plan = _plan(QUERIES["c22_scd2_dim"](spark, SF_DIR), mode="simple")
     assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 1
+
+
+def test_i3_phrase_filter_below_aggregate(spark):
+    """i3: the phrase equality must filter the bigram stream BEFORE the
+    per-doc aggregate's exchange — only matching bigrams shuffle."""
+    import re
+
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["i3_phrase_query"](spark, SF_DIR), mode="simple")
+    assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 1
+    assert "order fast" in plan  # the literal filter is in the plan
+    assert "partial_count" in plan
+
+
+def test_a20_transitions_one_window_exchange(spark):
+    """a20: one hash exchange on user_id feeds the lead window; the
+    transition aggregate pre-combines map-side."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["a20_event_transitions"](spark, SF_DIR), mode="simple")
+    assert "partial_count" in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_s15_projection_zero_exchanges(spark):
+    """s15: the whole 4-dim projection is one codegen projection over
+    the scan — no exchange, no python."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["s15_random_projection"](spark, SF_DIR), mode="simple")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
