@@ -1054,3 +1054,67 @@ def c19_branch_publish(spark, sf_dir):
     tag = store.read_ref("docs", "pre-fork").select(F.lit("tag").alias("probe"), "doc_id")
     post = store.read("docs").select(F.lit("post").alias("probe"), "doc_id")
     return pre.unionByName(branch).unionByName(tag).unionByName(post)
+
+
+@q(
+    "c23_incremental_agg",
+    # ground truth: a FULL recompute over the same slice — the maintained
+    # aggregate (base snapshot agg + delta agg, combined) must equal it
+    """SELECT o_orderstatus AS status,
+              COUNT(*) AS n_orders,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 1000) AS BIGINT)) AS BIGINT)
+                  AS total_mil
+       FROM orders WHERE o_orderkey < 3000
+       GROUP BY o_orderstatus""",
+)
+def c23_incremental_agg(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance — the lakehouse
+    pattern that makes a 100 TB rollup affordable: instead of
+    re-scanning every snapshot after each append, read the aggregate's
+    BASE snapshot (time-travel to round 1) once, scan ONLY the rows
+    appended since (read_changes = manifest member-set difference,
+    O(delta) I/O), aggregate the delta, and COMBINE partials — count
+    adds, sum adds.  The combine step touches |groups| x 2 rows
+    regardless of history depth.  Store rebuilt per call in a scratch
+    dir (c4 precedent); the parquet bytes on disk are what get graded.
+    The summand is floor(price*1000) as BIGINT (w10 precedent) so the
+    maintained sum is accumulation-order independent and hashes
+    exactly against the full-recompute twin.  Reference analog: the
+    crawler's per-status report tables are recomputed per run
+    (check_spider.py report queries); this is the form that survives a
+    10^10-row fact table."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .storage import TableStore
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_c23_store_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, root)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 1000).cast("long").alias("price_mil"),
+    )
+    for rnd in (1, 2, 3):
+        store.append("fact", orders.filter(F.col("o_orderkey") % 3 == rnd - 1))
+        store.commit_round(rnd)
+
+    def agg(df):
+        return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_mil").alias("total_mil"),
+        )
+
+    base = agg(store.read_at("fact", round_id=1))
+    delta = agg(store.read_changes("fact", since_round=1, until_round=3))
+    return (
+        base.unionByName(delta)
+        .groupBy("status")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_mil").cast("long").alias("total_mil"),
+        )
+    )

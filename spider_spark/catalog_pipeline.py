@@ -3574,3 +3574,136 @@ def s15_random_projection(spark, sf_dir):
         proj(9, 11, 6).alias("proj_2"),
         proj(11, 13, 7).alias("proj_3"),
     )
+
+
+# =====================================================================
+# skew-salted join, grouping sets, null-safe join (session-6 families)
+# =====================================================================
+
+@q(
+    "j10_salted_skew_join",
+    # results-identical to the plain equi-join: the salt is a pure
+    # partitioning artifact, so the twin ignores it entirely
+    """SELECT e.event_id, e.event_type, t.type_total
+       FROM events e
+       JOIN (SELECT event_type, COUNT(*) AS type_total
+             FROM events GROUP BY event_type) t
+       USING (event_type)""",
+)
+def j10_salted_skew_join(spark, sf_dir):
+    """Skew-salted shuffle join — the explicit hot-key treatment the
+    brief calls out.  events.event_type has a handful of distinct
+    values, so a plain shuffled join on it puts EVERY row of a hot
+    type into one reducer task; at 100 TB that task is the job.  The
+    cure: replicate the small side across SALT slices (explode a
+    0..SALT-1 sequence) and salt the big side with
+    pmod(xxhash64(event_id), SALT), then join on (type, salt) — each
+    hot key now spreads over SALT reducers, and the result set is
+    provably identical because every big-side row still meets exactly
+    one copy of its dim row.  The dim side is hinted shuffle_hash:
+    with a broadcastable dim Spark would elide the shuffle entirely
+    (and salting would be pointless), so the entry pins the regime the
+    technique exists for.  The oracle is the UNSALTED join — grading
+    results-identity, which is the whole contract of salting.  This is
+    the same trick frontier.dequeue(rank_salt=) uses for hot-host
+    ranking (frontier.py), graded here as a standalone operator."""
+    SALT = 8
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_total"))
+    dim_s = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+    ).hint("shuffle_hash")
+    big = ev.select(
+        "event_id",
+        "event_type",
+        F.pmod(F.xxhash64("event_id"), F.lit(SALT)).cast("int").alias("salt"),
+    )
+    return big.join(dim_s, ["event_type", "salt"]).select(
+        "event_id", "event_type", "type_total"
+    )
+
+
+@q(
+    "a21_grouping_sets",
+    # arbitrary grouping sets: per-lang and per-source marginals plus the
+    # grand total in ONE pass — NOT expressible as a single ROLLUP/CUBE
+    """SELECT coalesce(lang, '<all>') AS lang_k,
+              coalesce(source, '<all>') AS source_k,
+              CAST(GROUPING(lang) AS INT) AS g_lang,
+              CAST(GROUPING(source) AS INT) AS g_source,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS chars_total
+       FROM documents
+       GROUP BY GROUPING SETS ((lang), (source), ())""",
+)
+def a21_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS — two independent marginals (per-lang,
+    per-source) plus the grand total, which neither ROLLUP nor CUBE
+    expresses without emitting the unwanted (lang, source) grain.
+    Spark plans this exactly like a17's rollup: one Expand (3 grouping
+    sets per input row) into one hash aggregate with map-side partial
+    — a single corpus scan and a single shuffle where the naive form
+    is three scans unioned.  GROUPING flags disambiguate rolled-up
+    NULLs from real NULL keys (a17 precedent).  The (lang)-only and
+    (source)-only marginals are the two report dimensions the
+    reference computes with separate queries per dimension."""
+    docs = _t(spark, sf_dir, "documents")
+    r = docs.groupingSets([["lang"], ["source"], []], "lang", "source").agg(
+        F.grouping("lang").cast("int").alias("g_lang"),
+        F.grouping("source").cast("int").alias("g_source"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
+    return r.select(
+        F.coalesce("lang", F.lit("<all>")).alias("lang_k"),
+        F.coalesce("source", F.lit("<all>")).alias("source_k"),
+        "g_lang",
+        "g_source",
+        "n_docs",
+        "chars_total",
+    )
+
+
+@q(
+    "j11_nullsafe_join",
+    # null-safe equality: NULL keys MATCH each other (IS NOT DISTINCT
+    # FROM), unlike '=' which silently drops every NULL row
+    """WITH l AS (SELECT event_id,
+                         CASE WHEN event_id % 7 = 0 THEN NULL
+                              ELSE event_id % 50 END AS k
+                  FROM events),
+            r AS (SELECT CASE WHEN doc_id % 9 = 0 THEN NULL
+                              ELSE doc_id END AS k_r,
+                         'd' || CAST(doc_id AS VARCHAR) AS label
+                  FROM documents WHERE doc_id < 60)
+       SELECT l.event_id, l.k, r.label
+       FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k_r""",
+)
+def j11_nullsafe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM) — the
+    semantics a plain '=' join silently gets wrong: rows whose key is
+    NULL vanish from an inner equi-join, but an entity-resolution
+    join over dirty keys (the reference's phone-book matching hits
+    this with absent phone prefixes) needs NULL to match NULL.  Spark
+    compiles eqNullSafe into a real hash-join key (NULL hashes to a
+    bucket like any value), so the plan is still a broadcast hash
+    join — no fallback to nested-loop — which is exactly why the
+    operator scales: null-safe equality is the ONE non-'=' predicate
+    that keeps hash partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("event_id") % 50)
+        .alias("k"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    right = docs.filter(F.col("doc_id") < 60).select(
+        F.when(F.col("doc_id") % 9 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("doc_id"))
+        .alias("k_r"),
+        F.concat(F.lit("d"), F.col("doc_id")).alias("label"),
+    )
+    return left.join(
+        F.broadcast(right), left["k"].eqNullSafe(right["k_r"])
+    ).select("event_id", "k", "label")

@@ -615,3 +615,52 @@ def test_s15_projection_zero_exchanges(spark):
     plan = _plan(QUERIES["s15_random_projection"](spark, SF_DIR), mode="simple")
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_j10_salted_join_is_shuffled_hash_on_salt(spark):
+    """j10: the whole point is the shuffle regime — the join must be a
+    ShuffledHashJoin (not broadcast: a broadcast dim would make salting
+    vacuous) keyed on BOTH event_type and salt, so hot types spread
+    across SALT reducers."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["j10_salted_skew_join"](spark, SF_DIR), mode="simple")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    join_line = [ln for ln in plan.splitlines() if "ShuffledHashJoin" in ln][0]
+    assert "salt" in join_line and "event_type" in join_line
+    assert "CartesianProduct" not in plan
+
+
+def test_a21_grouping_sets_one_expand_one_exchange(spark):
+    """a21: 3 grouping sets = ONE Expand feeding ONE hash aggregate with
+    map-side partial — a single corpus scan, never three unioned scans."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["a21_grouping_sets"](spark, SF_DIR), mode="simple")
+    assert plan.count("Expand") >= 1
+    assert "partial_count" in plan
+    assert plan.count("FileScan") == 1, "grouping sets must not re-scan per grain"
+
+
+def test_j11_nullsafe_join_stays_hash_join(spark):
+    """j11: null-safe equality must compile to a hash join key (NULL
+    hashes like a value) — never a nested-loop fallback."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["j11_nullsafe_join"](spark, SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_c23_incremental_delta_reads_only_new_members(spark):
+    """c23: the maintenance path is O(delta) — read_changes must expose
+    only the post-base members (2 of 3 rounds), and the combine step
+    aggregates partials, not raw history."""
+    from spider_spark.catalog import QUERIES
+
+    df = QUERIES["c23_incremental_agg"](spark, SF_DIR)
+    plan = _plan(df, mode="simple")
+    # partial aggregation on both legs, final combine on status
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
