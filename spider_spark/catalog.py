@@ -633,7 +633,12 @@ GRADED_WINDOW = [
     # (r4 cont.: j3 cache-aside out — its left-join+default shape sits
     # between j1's dim lookup and j2's fk join, both graded; stays
     # oracle-gated in the tail)
-    "j1_broadcast_enrich", "j2_fk_join",
+    # (r5 final7: j2 fk-join out — the shuffled fact-join shape is also
+    # graded through q3's order/lineitem join, and j2 stays oracle-gated
+    # in the tail; j10 in — the skew-salting technique itself, graded on
+    # results-identity vs the unsalted join with the shuffle regime
+    # plan-pinned, the one scale trick the window never exercised)
+    "j1_broadcast_enrich", "j10_salted_skew_join",
     "j5_anti_seen", "j8_asof_last_click", "j9_interval_count",
     # aggregations (r4: a2 regex-agg out — f4 grades the regex, a5 the
     # group agg; a4 in — the reference's insert-time unique-key dedup;

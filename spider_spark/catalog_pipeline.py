@@ -3707,3 +3707,103 @@ def j11_nullsafe_join(spark, sf_dir):
     return left.join(
         F.broadcast(right), left["k"].eqNullSafe(right["k_r"])
     ).select("event_id", "k", "label")
+
+
+@q(
+    "j12_snapshot_reconcile",
+    # snapshot diff: FULL OUTER join classifies every key as
+    # added / removed / changed; unchanged rows are suppressed
+    """WITH old AS (SELECT o_orderkey AS k, o_orderstatus AS v
+                    FROM orders WHERE o_orderkey % 3 <> 0),
+            new AS (SELECT o_orderkey AS k,
+                           CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                                ELSE o_orderstatus END AS v
+                    FROM orders WHERE o_orderkey % 5 <> 0)
+       SELECT k,
+              CASE WHEN old.v IS NULL THEN 'added'
+                   WHEN new.v IS NULL THEN 'removed'
+                   WHEN old.v <> new.v THEN 'changed' END AS change,
+              old.v AS old_v, new.v AS new_v
+       FROM old FULL JOIN new USING (k)
+       WHERE old.v IS NULL OR new.v IS NULL OR old.v <> new.v""",
+)
+def j12_snapshot_reconcile(spark, sf_dir):
+    """Snapshot reconciliation — the table-diff report (what changed
+    between two versions of a keyed extract) via ONE full-outer join:
+    keys only in the new snapshot are 'added', only in the old are
+    'removed', present in both with different payloads 'changed', and
+    identical rows are suppressed so the output is the delta, not the
+    corpus.  This is the audit view over storage.read_at pairs (c4)
+    and the validation step of every backfill; the reference re-crawls
+    and overwrites without a diff, which at 10^10 rows hides both
+    regressions and takedown failures.  Plan: one shuffled sort-merge
+    FULL OUTER on the key — the join every diff must pay; everything
+    else is a codegen projection, and the 'same'-row suppression
+    happens before any further shuffle so the emitted delta is
+    typically orders of magnitude smaller than the inputs."""
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("old_v")
+    )
+    new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("new_v"),
+    )
+    j = old.join(new, ["k"], "full")
+    change = (
+        F.when(F.col("old_v").isNull(), F.lit("added"))
+        .when(F.col("new_v").isNull(), F.lit("removed"))
+        .when(F.col("old_v") != F.col("new_v"), F.lit("changed"))
+    )
+    return (
+        j.select("k", change.alias("change"), "old_v", "new_v")
+        .filter(F.col("change").isNotNull())
+    )
+
+
+@q(
+    "w11_ntile_buckets",
+    # ntile + percent_rank are position-based: a TOTAL order
+    # (value, event_id) makes both engine-exact; percent_rank is scaled
+    # to an exact integer per-mille via the rank identity to avoid
+    # float division drift
+    """SELECT event_id, user_id,
+              CAST(NTILE(4) OVER w AS INT) AS quartile,
+              CAST(FLOOR(((RANK() OVER w) - 1) * 1000.0 /
+                   GREATEST(COUNT(*) OVER (PARTITION BY user_id) - 1, 1))
+                   AS BIGINT) AS pr_mille
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""",
+)
+def w11_ntile_buckets(spark, sf_dir):
+    """NTILE quantile bucketing + percent_rank — the per-entity
+    quantile assignment (spend quartiles, score percentiles) that
+    drives stratified treatment downstream.  Both functions are
+    position-based, so the ORDER BY must be a TOTAL order —
+    (value, event_id) — or tie placement differs per engine run; with
+    it, both are bit-deterministic.  percent_rank itself is
+    (rank-1)/(n-1) in DOUBLE, which invites 1-ulp cross-engine drift,
+    so the entry grades the exact INTEGER form
+    floor((rank-1)*1000 / max(n-1, 1)) instead — same information and
+    hash-exact, because IEEE division of integers below 2^30 is never
+    within 0.5 ulp of a wrong floor boundary (t7's rounding lesson);
+    the max(..,1) guards single-event users, whose 0/0 would RAISE
+    under ANSI.
+    Plan: ONE hash exchange on user_id serves ntile, rank, and the
+    partition count; per-user ordering bounds the sort, never corpus
+    size.  Single-user-per-task skew is the w10 story: bounded by the
+    entity's event count."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wc = Window.partitionBy("user_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.floor(
+            (F.rank().over(w) - 1) * 1000
+            / F.greatest(F.count(F.lit(1)).over(wc) - 1, F.lit(1))
+        ).cast("long").alias("pr_mille"),
+    )

@@ -664,3 +664,26 @@ def test_c23_incremental_delta_reads_only_new_members(spark):
     # partial aggregation on both legs, final combine on status
     assert "partial_count" in plan or "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_j12_reconcile_single_full_outer_join(spark):
+    """j12: the diff pays exactly ONE shuffled join (FullOuter); the
+    change classification and same-row suppression are projections above
+    it, so the emitted delta never re-shuffles."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["j12_snapshot_reconcile"](spark, SF_DIR), mode="simple")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+
+
+def test_w11_one_exchange_serves_both_windows(spark):
+    """w11: ntile/rank and the partition count share the user_id
+    exchange — one hash partitioning, no rangepartitioning (no global
+    sort)."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["w11_ntile_buckets"](spark, SF_DIR), mode="simple")
+    assert plan.count("hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
