@@ -1118,3 +1118,53 @@ def c23_incremental_agg(spark, sf_dir):
             F.sum("total_mil").cast("long").alias("total_mil"),
         )
     )
+
+
+@q(
+    "c24_count_pushdown",
+    # ground truth: a real COUNT over the same slice — the metadata
+    # answer (summed member footer counts) must equal the scan
+    """SELECT o_orderstatus AS status, COUNT(*) AS n_orders
+       FROM orders WHERE o_orderkey < 4000
+       GROUP BY o_orderstatus""",
+)
+def c24_count_pushdown(spark, sf_dir):
+    """Iceberg COUNT-pushdown: a per-partition census answered ENTIRELY
+    from manifest metadata — parquet footer counts recorded at write
+    time, summed at read time; zero data pages opened, zero Spark jobs.
+    The store is built with three partitioned appends so each status
+    member accumulates across segments, then count_rows() answers per
+    partition value and the twin recomputes by scanning — grading that
+    the metadata never drifts from the bytes.  At 10^10 rows this is
+    the difference between a JSON read and a full-table scan for every
+    monitoring query the crawl dashboard issues per round (the
+    reference re-SELECTs COUNT(*) from MySQL per status,
+    check_spider.py report queries).  count_rows REFUSES when
+    merge-on-read deletes are pending (metadata would overstate) —
+    tests/test_count_pushdown.py gates the refusal and the
+    compact()-restores-answerability path."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .storage import TableStore
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_c24_store_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, root)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    for rnd in (1, 2, 3):
+        store.append(
+            "fact",
+            orders.filter(F.col("o_orderkey") % 3 == rnd - 1),
+            partition_by=["o_orderstatus"],
+        )
+    vals = sorted(
+        {m["value"] for m in store._manifest("fact")["members"]},
+        key=lambda v: (v is None, v),
+    )
+    rows = [(v, store.count_rows("fact", values=[v])) for v in vals]
+    return spark.createDataFrame(rows, "status string, n_orders bigint")

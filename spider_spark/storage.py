@@ -168,7 +168,7 @@ class TableStore:
             )
 
         if not partition_by:
-            m = {"path": seg, "value": None}
+            m = {"path": seg, "value": None, "rows": self._footer_rows(seg_path)}
             if stats_col is not None and _jsonable(stats.get(None)):
                 m["stats"] = {stats_col: stats[None]}
             return [m]
@@ -178,12 +178,32 @@ class TableStore:
             if d.startswith(f"{col}="):
                 raw = unquote(d[len(col) + 1 :])
                 value = None if raw == _HIVE_NULL else raw
-                m = {"path": f"{seg}/{d}", "value": value}
+                m = {
+                    "path": f"{seg}/{d}",
+                    "value": value,
+                    "rows": self._footer_rows(os.path.join(seg_path, d)),
+                }
                 s = stats.get(str(value)) if value is not None else None
                 if stats_col is not None and _jsonable(s):
                     m["stats"] = {stats_col: s}
                 members.append(m)
         return members
+
+    @staticmethod
+    def _footer_rows(path: str) -> int:
+        """Row count from parquet FOOTERS only (pyarrow metadata read —
+        zero data pages touched): how Iceberg records per-file counts at
+        write time.  Cost is one small tail read per file of a segment
+        the writer just produced, so it is O(files in THIS segment),
+        never O(table)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
 
     def _commit_version(
         self,
@@ -329,6 +349,38 @@ class TableStore:
         return self._read_members(table, pruned).filter(
             (F.col(col) >= lo) & (F.col(col) <= hi)
         )
+
+    def count_rows(self, table: str, values=None) -> int:
+        """Iceberg count-pushdown analog: COUNT(*) answered ENTIRELY from
+        manifest metadata — zero parquet I/O, zero Spark jobs.  With
+        ``values`` the count is restricted to those partition members
+        (a per-state frontier census of a 10^10-row table costs a JSON
+        read).
+
+        Refuses rather than lies: raises if the table carries unapplied
+        merge-on-read deletes (a delete segment anti-joins older members,
+        so metadata counts overstate — Iceberg falls back to a scan in
+        exactly this case; ``compact`` materializes deletes and makes
+        counts answerable again) or if any relevant member predates the
+        recorded-counts feature."""
+        man = self._manifest(table)
+        if man.get("deletes"):
+            raise ValueError(
+                f"count_rows('{table}'): table has unapplied merge-on-read "
+                "deletes; metadata counts would overstate — compact() first "
+                "or scan"
+            )
+        members = man["members"]
+        if values is not None:
+            keep = {str(v) for v in values}
+            members = [m for m in members if str(m["value"]) in keep]
+        missing = [m["path"] for m in members if "rows" not in m]
+        if missing:
+            raise ValueError(
+                f"count_rows('{table}'): members without recorded counts "
+                f"(pre-feature segments): {missing[:3]} — scan instead"
+            )
+        return sum(m["rows"] for m in members)
 
     def partition_files(self, table: str, values) -> list[str]:
         """Member paths a read_partitions(table, values) would open —
