@@ -705,7 +705,12 @@ GRADED_WINDOW = [
     "t1_token_count", "t3_langid_markers", "t12_token_packing",
     "t19_dsir_importance",
     # dedup ladder
-    "d1_exact_dedup", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
+    # (r5 final8: d3 simhash out — d2 keeps the signature-blocked
+    # near-dup family and d3 stays oracle-gated in the tail; c25 in —
+    # partition-spec evolution on real store bytes, the metadata-only
+    # unpartitioned->partitioned commit with residual-filtered old
+    # members, a lakehouse capability the window never exercised)
+    "d1_exact_dedup", "d2_minhash_lsh_pairs", "c25_spec_evolution",
     # (r4 final: d4 n-gram-Jaccard verify out — the pairwise-verify shape
     # is inside d2's banded pipeline; d8 benchmark decontamination in —
     # the corpus-hygiene op; d4 stays oracle-gated in the tail)
@@ -734,7 +739,11 @@ GRADED_WINDOW = [
     # (S5/S10 as CONNECTORS): write_foreign through a real cross-process
     # O_EXCL unique-key store, read back, first-wins SQL twin)
     "r1_credit_query_parse", "c14_stats_skip_scan", "r3_phone_book_parse",
-    "r4_operator_user_json", "r6_phone_attribution",
+    # (r5 final8: r4 operator-JSON out — the nested-JSON parse shape is
+    # graded by f1 and r1/r3/r6 keep the record-parser family; st7 in —
+    # exactly-once streaming ingest into the TableStore, graded on real
+    # store bytes with a hand-replayed micro-batch)
+    "st7_stream_lakehouse_sink", "r6_phone_attribution",
     "c17_foreign_sink_upsert", "m8_jpeg_stats",
     # headline analytical queries
     # (r5 final2: q5 snowflake-revenue out — q3 keeps the OLAP-report

@@ -2643,6 +2643,61 @@ def d11_fuzzy_link(spark, sf_dir):
 
 
 @q(
+    "d12_cluster_split",
+    # leakage-free train/val split: the d6 planted-chain components are
+    # ground truth (component = min base doc_id sharing the text), and
+    # the split is a pure function of the COMPONENT id (md5-prefix
+    # ~10% sample, t6's engine-independent trick) — so a document and
+    # every near-duplicate of it land on the same side by construction
+    """WITH m AS (
+         SELECT t.member, g.component
+         FROM (SELECT doc_id AS member, text FROM documents
+               UNION ALL SELECT doc_id + 1000000, text FROM documents
+               UNION ALL SELECT doc_id + 2000000, text FROM documents) t
+         JOIN (SELECT text, MIN(doc_id) AS component
+               FROM documents GROUP BY text) g
+           ON t.text = g.text)
+       SELECT member, component,
+              CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 2) <= '19'
+                   THEN 'val' ELSE 'train' END AS split
+       FROM m""",
+)
+def d12_cluster_split(spark, sf_dir):
+    """Dedup-aware train/validation split — the step that turns the
+    dedup graph into a LEAK-FREE eval protocol: splitting documents
+    i.i.d. puts near-duplicates of training docs in the validation set
+    and silently inflates eval scores, so the unit of assignment must
+    be the duplicate COMPONENT, not the document.  Pipeline: exact-dup
+    chain edges -> connected_components (the real d6 fixpoint, planted
+    3-chains force multi-hop closure) -> split = md5(component) prefix
+    threshold (~10% val), a pure engine-independent function of the
+    canonical id.  Every member inherits its component's side — the
+    twin certifies both the closure AND the assignment.  At 100 TB:
+    the CC rounds dominate (O(log) exchanges); the split itself is one
+    codegen'd projection, no extra shuffle."""
+    from .functions.dedup import connected_components, exact_dup_chain_edges
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    tri = d.unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    ).unionByName(d.select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text"))
+    cc = connected_components(exact_dup_chain_edges(tri))
+    return cc.select(
+        F.col("member").cast("long").alias("member"),
+        F.col("component").cast("long").alias("component"),
+        F.when(
+            F.substring(F.md5(F.col("component").cast("string").cast("binary")), 1, 2)
+            <= "19",
+            F.lit("val"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+@q(
     "a15_pivot_event_matrix",
     # relational PIVOT: user x event_type count matrix with an explicit
     # column list (the only scalable form — inferring pivot values needs
@@ -2918,6 +2973,49 @@ def g5_triangle_count(spark, sf_dir):
         .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
     )
     return t.groupBy(F.col("a").alias("anchor")).agg(F.count("*").alias("n_tri"))
+
+
+@q(
+    "g6_label_propagation",
+    # deterministic 2-round synchronous LPA over 10 planted stars
+    # (leaf d >= 10 attaches to hub d % 10).  Round 1: each leaf's only
+    # neighbor is its hub -> label h; the hub sees every leaf's initial
+    # id once each (all-tied counts) -> min rule picks 10+h.  Round 2:
+    # leaves adopt the hub's round-1 label 10+h; the hub's neighbors are
+    # now unanimously h -> majority rule returns it to h.  Both tie-break
+    # and majority paths are therefore exercised, and the fixpoint is
+    # analytic: hub h -> h, leaf d -> 10 + d % 10
+    """SELECT doc_id AS node,
+              CAST(CASE WHEN doc_id < 10 THEN doc_id
+                   ELSE 10 + doc_id % 10 END AS BIGINT) AS label
+       FROM documents""",
+)
+def g6_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation
+    (functions/graph.py: count-majority with deterministic
+    (count DESC, label ASC) tie-break — the randomness-free LPA form a
+    reproducible pipeline needs).  Completes the graph ladder between
+    connected components (d6/d7: transitive closure only) and
+    PageRank/HITS (g1/g2: global scores): LPA finds density clusters
+    inside one component.  Per round: one (node, label) partial-count
+    aggregation (map-side combine bounds hub skew — hubs here have
+    ~N/10 neighbors by construction) + one per-node window argmax,
+    labels localCheckpointed so lineage stays O(1) deep.  At 100 TB
+    rounds are bounded a priori (fixed iters), each reusing the edge
+    partitioning — no driver-side convergence probe needed."""
+    from .functions.graph import label_propagation
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    edges = docs.filter(F.col("doc_id") >= 10).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") % 10).alias("dst")
+    )
+    out = label_propagation(edges, iters=2)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
 
 
 @q(
@@ -3472,6 +3570,53 @@ def i3_phrase_query(spark, sf_dir):
             (F.min("pos0") + 1).cast("int").alias("first_pos"),
         )
     )
+
+
+@q(
+    "i4_conjunctive_query",
+    # boolean AND retrieval: docs containing ALL of {dup, vector, order}
+    # (df(dup) ~ 5% of docs, so the intersection is a small proper
+    # subset at every SF: 13/16/156 docs at sf0.001/0.01/0.1), with the
+    # per-term tf profile certified per matching doc
+    """WITH toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         FROM documents WHERE length(trim(text)) > 0),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+              WHERE term IN ('dup', 'vector', 'order')
+              GROUP BY doc_id, term)
+       SELECT doc_id,
+              CAST(SUM(CASE WHEN term = 'dup' THEN tf END) AS BIGINT) AS tf_dup,
+              CAST(SUM(CASE WHEN term = 'vector' THEN tf END) AS BIGINT) AS tf_vector,
+              CAST(SUM(CASE WHEN term = 'order' THEN tf END) AS BIGINT) AS tf_order
+       FROM tf GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3""",
+)
+def i4_conjunctive_query(spark, sf_dir):
+    """Conjunctive (AND) boolean retrieval — the fourth rung of the
+    retrieval ladder (i1 postings, i2 ranking, i3 phrases, THIS is the
+    multi-term filter every search front-end runs first).  Posting
+    intersection restated relationally: the term filter prunes the
+    exploded stream BEFORE any shuffle (only the 3 query terms' tokens
+    survive the scan stage), one (doc, term) partial agg bounds
+    stopword skew, and HAVING count(distinct term) = n_terms IS the
+    intersection — no join chain, no driver loop, term count fixed at
+    plan time.  At 100 TB against the i1 index proper, the same shape
+    is an IN-pushdown read of 3 posting shards + this one agg."""
+    terms = ["dup", "vector", "order"]
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        .filter(F.col("term").isin(terms))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    agg = tf.groupBy("doc_id").agg(
+        F.countDistinct("term").alias("n_terms"),
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf"))).alias(f"tf_{t}")
+            for t in terms
+        ],
+    )
+    return agg.filter(F.col("n_terms") == len(terms)).drop("n_terms")
 
 
 @q(

@@ -240,3 +240,57 @@ def st6_stream_session_window(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+@q(
+    "st7_stream_lakehouse_sink",
+    # the sink table must hold EXACTLY one copy of every staged event —
+    # a re-delivered micro-batch (the at-least-once contract this entry
+    # replays by hand) would double the counts
+    """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+       FROM events GROUP BY event_type""",
+)
+def st7_stream_lakehouse_sink(spark, sf_dir):
+    """Exactly-once streaming ingest into the REAL TableStore
+    (streaming/lakehouse.py + storage.append_txn): the events table is
+    staged as 3 parquet files, drained with availableNow +
+    maxFilesPerTrigger=1 (3 micro-batches, one manifest commit each,
+    batch id recorded as a transactional watermark IN the manifest).
+    The entry then replays micro-batch 0 by hand — the at-least-once
+    re-delivery foreachBatch permits after a crash — and RAISES unless
+    the watermark skips it; a full restart on the same checkpoint must
+    drain zero batches.  What gets graded is the store's parquet bytes:
+    any double-append breaks the count twin.  Replaces the reference's
+    unique-index IntegrityError retry (db_config.py:46-54) with a
+    transactional watermark."""
+    from .storage import TableStore
+    from .streaming.lakehouse import stream_append_table
+
+    src, cp = _stage(
+        spark,
+        sf_dir,
+        "st7",
+        transform=lambda df: df.select("event_id", "user_id", "event_type").repartition(3),
+    )
+    store = TableStore(spark, os.path.join(os.path.dirname(src), "store"))
+    schema = spark.read.parquet(src).schema
+    n1 = stream_append_table(
+        spark, src, schema, store, "events_sink", cp,
+        txn_key="st7", max_files_per_trigger=1,
+    )
+    if n1 < 2:
+        raise RuntimeError(f"expected >=2 micro-batches from 3 staged files, got {n1}")
+    replay = store.append_txn("events_sink", spark.read.parquet(src), "st7", 0)
+    if replay is not None:
+        raise RuntimeError("replayed micro-batch 0 was appended — exactly-once broken")
+    n2 = stream_append_table(spark, src, schema, store, "events_sink", cp, txn_key="st7")
+    if n2 != 0:
+        raise RuntimeError(f"restart on a drained checkpoint re-appended {n2} batches")
+    return (
+        store.read("events_sink")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

@@ -144,3 +144,29 @@ def sitemap_seeds(
         ).alias("priority"),
     )
     return out.filter(F.col("url") != "")
+
+
+def sitemap_index_urls(sitemaps: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
+    """<sitemapindex> -> child sitemap URLs: the two-level form large
+    sites publish (an index lists up-to-50k child sitemaps; the children
+    hold the <url> entries).  Discovery is therefore ONE extra fetch hop:
+    expand the index, fetch the children, feed each child's XML to
+    ``sitemap_seeds``.  The protocol forbids nesting indexes inside
+    indexes, so a single expansion round completes — no recursion, no
+    fixpoint.
+
+    All-JVM, same (?s) DOTALL discipline as sitemap_seeds (pretty-printed
+    XML spans lines).  A plain <urlset> document contains no <sitemap>
+    blocks, so it naturally yields zero rows here — callers can route
+    mixed batches through both parsers without sniffing the root tag."""
+    from pyspark.sql import functions as F
+
+    blocks = F.expr(
+        f"regexp_extract_all({xml_col}, '(?s)<sitemap>(.*?)</sitemap>', 1)"
+    )
+    urls = F.transform(
+        blocks,
+        lambda b: F.trim(F.regexp_extract(b, "<loc>\\s*([^<]+?)\\s*</loc>", 1)),
+    )
+    out = sitemaps.select(F.explode(urls).alias("url"))
+    return out.filter(F.col("url") != "")

@@ -214,6 +214,8 @@ class TableStore:
         partition_col: str | None,
         expected: str | None = None,
         deletes: list[dict] | None = None,
+        txn: dict | None = None,
+        spec_since: int | None = None,
     ) -> str:
         if expected is not None and self.current_version(table) != expected:
             raise ConcurrentCommitError(
@@ -221,17 +223,29 @@ class TableStore:
                 f"but found {self.current_version(table)} — another writer "
                 f"committed first; re-read and retry"
             )
-        self._write_manifest(
-            table,
-            version,
-            {
-                "members": members,
-                "schema": schema.json(),
-                "columns": [f.name for f in schema.fields],
-                "partition_col": partition_col,
-                "deletes": deletes or [],
-            },
-        )
+        # inherit snapshot-scoped metadata from the parent unless the
+        # caller overrides: the txn high-water marks (Delta txn / Iceberg
+        # snapshot-summary analog — maintenance commits must never reset a
+        # streaming sink's exactly-once watermark) and the partition-spec
+        # evolution boundary.  A pointerless commit (fresh write) starts
+        # clean: a full table rewrite is a new table generation.
+        if expected is not None and (txn is None or spec_since is None):
+            prev = self._manifest(table, expected)
+            if txn is None:
+                txn = prev.get("txn") or {}
+            if spec_since is None:
+                spec_since = prev.get("spec_since")
+        manifest = {
+            "members": members,
+            "schema": schema.json(),
+            "columns": [f.name for f in schema.fields],
+            "partition_col": partition_col,
+            "deletes": deletes or [],
+            "txn": txn or {},
+        }
+        if spec_since is not None:
+            manifest["spec_since"] = int(spec_since)
+        self._write_manifest(table, version, manifest)
         self._set_pointer(table, version)
         return version
 
@@ -241,6 +255,15 @@ class TableStore:
         (Iceberg's data-sequence-number analog), recoverable from the
         immutable segment path — old manifests need no migration."""
         return int(member["path"].split("/", 1)[0][3:])
+
+    @classmethod
+    def _pre_spec(cls, manifest: dict, member: dict) -> bool:
+        """True if the member was written BEFORE the manifest's partition
+        spec took effect (evolve_partition_spec): it carries the partition
+        column physically and has no manifest partition value, so reads
+        must scan it with a residual filter instead of pruning."""
+        since = manifest.get("spec_since")
+        return since is not None and cls._member_seq(member) < since
 
     # ------------------------------------------------------------ read
     def read(self, table: str) -> DataFrame:
@@ -322,8 +345,22 @@ class TableStore:
         into — O(candidate buckets), not O(all-ever-seen) (VERDICT r2 #4)."""
         keep = {str(v) for v in values}
         m = self._manifest(table)
-        pruned = dict(m, members=[x for x in m["members"] if str(x["value"]) in keep])
-        return self._read_members(table, pruned)
+        pre = [x for x in m["members"] if self._pre_spec(m, x)]
+        post = [
+            x
+            for x in m["members"]
+            if not self._pre_spec(m, x) and str(x["value"]) in keep
+        ]
+        out = self._read_members(table, dict(m, members=pre + post))
+        if pre:
+            # members predating the partition spec can hold ANY value:
+            # they are scanned with a residual row filter (the Iceberg
+            # old-spec-file behavior); on the manifest-pruned branches the
+            # same predicate constant-folds against the attached literal
+            out = out.filter(
+                F.col(m["partition_col"]).cast("string").isin(sorted(keep))
+            )
+        return out
 
     def range_members(self, table: str, col: str, lo, hi) -> list[dict]:
         """Members that COULD hold rows with ``lo <= col <= hi``: a member
@@ -372,6 +409,13 @@ class TableStore:
             )
         members = man["members"]
         if values is not None:
+            if any(self._pre_spec(man, m) for m in members):
+                raise ValueError(
+                    f"count_rows('{table}'): partition-restricted counts "
+                    "need file scans over pre-evolution members (their "
+                    "rows span arbitrary partition values) — compact() "
+                    "migrates them to the new spec, or scan"
+                )
             keep = {str(v) for v in values}
             members = [m for m in members if str(m["value"]) in keep]
         missing = [m["path"] for m in members if "rows" not in m]
@@ -386,10 +430,11 @@ class TableStore:
         """Member paths a read_partitions(table, values) would open —
         for tests asserting the prune touches only candidate buckets."""
         keep = {str(v) for v in values}
+        man = self._manifest(table)
         return [
             m["path"]
-            for m in self._manifest(table)["members"]
-            if str(m["value"]) in keep
+            for m in man["members"]
+            if str(m["value"]) in keep or self._pre_spec(man, m)
         ]
 
     def _read_members(
@@ -440,9 +485,22 @@ class TableStore:
             ptype = schema[pcol].dataType
             data_schema = StructType([f for f in schema.fields if f.name != pcol])
             by_group: dict[tuple[str | None, tuple[int, ...]], list[str]] = {}
+            pre_by_appl: dict[tuple[int, ...], list[str]] = {}
             for m in members:
+                if self._pre_spec(manifest, m):
+                    # written before the spec: the partition column is
+                    # physical in the file — read the full schema, no
+                    # literal attach, no pruning
+                    pre_by_appl.setdefault(applicable(m), []).append(
+                        os.path.join(tdir, m["path"])
+                    )
+                    continue
                 by_group.setdefault((m["value"], applicable(m)), []).append(
                     os.path.join(tdir, m["path"])
+                )
+            for appl, paths in pre_by_appl.items():
+                parts.append(
+                    anti(self.spark.read.schema(schema).parquet(*paths).select(cols), appl)
                 )
             for (value, appl), paths in by_group.items():
                 parts.append(
@@ -516,6 +574,7 @@ class TableStore:
         df: DataFrame,
         partition_by: list[str] | None = None,
         stats_col: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> str:
         """Full-snapshot write: one new segment is the whole table.
 
@@ -528,7 +587,10 @@ class TableStore:
         v = self._next_version(table)
         members = self._write_segment(table, v, df, partition_by, stats_col=stats_col)
         pcol = partition_by[0] if partition_by else None
-        return self._commit_version(table, v, members, df.schema, pcol)
+        return self._commit_version(
+            table, v, members, df.schema, pcol,
+            txn={txn[0]: txn[1]} if txn else None,
+        )
 
     def append(
         self,
@@ -537,6 +599,7 @@ class TableStore:
         partition_by: list[str] | None = None,
         allow_evolution: bool = False,
         stats_col: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> str:
         """Iceberg-append analog: write ONLY df as a new segment and link
         it into the next manifest — O(delta) I/O per append, the existing
@@ -551,7 +614,7 @@ class TableStore:
         each snapshot with its own snapshot-time schema."""
         base = self.current_version(table)
         if base is None:
-            return self.write(table, df, partition_by, stats_col=stats_col)
+            return self.write(table, df, partition_by, stats_col=stats_col, txn=txn)
         prev = self._manifest(table, base)
         pcol = prev.get("partition_col")
         if partition_by and partition_by[0] != pcol:
@@ -569,10 +632,119 @@ class TableStore:
                 schema.fields
                 + [StructField(f.name, f.dataType, nullable=True) for f in added]
             )
+        txn_map = None
+        if txn is not None:
+            txn_map = dict(prev.get("txn") or {})
+            txn_map[txn[0]] = txn[1]
         return self._commit_version(
             table, v, prev["members"] + new_members, schema, pcol, expected=base,
-            deletes=prev.get("deletes"),
+            deletes=prev.get("deletes"), txn=txn_map,
         )
+
+    def history(self, table: str) -> list[dict]:
+        """Iceberg ``table.history``/``snapshots`` analog: one record per
+        manifest on disk, oldest first — version, PHYSICAL member/row
+        totals (footer counts as written; logically-deleted rows still
+        count until compact materializes the delete), outstanding
+        equality-delete segments, partition spec, and whether the
+        snapshot originated from stage_append (WAP lineage — ``staged``;
+        it may since have been published) plus which one the pointer
+        currently serves.  Metadata-only: JSON reads, zero
+        parquet I/O — the audit surface a takedown/compliance review
+        reads before touching data."""
+        out = []
+        try:
+            versions = sorted(
+                f[:-5] for f in os.listdir(self._mdir(table)) if f.endswith(".json")
+            )
+        except FileNotFoundError:
+            return out
+        cur = self.current_version(table)
+        for v in versions:
+            man = self._manifest(table, v)
+            out.append(
+                {
+                    "version": int(v[1:]),
+                    "members": len(man["members"]),
+                    "rows": sum(m.get("rows", 0) for m in man["members"]),
+                    "deletes": len(man.get("deletes") or []),
+                    "partition_col": man.get("partition_col"),
+                    "staged": "parent" in man,
+                    "current": v == cur,
+                }
+            )
+        return out
+
+    def evolve_partition_spec(self, table: str, col: str) -> str:
+        """Iceberg partition-spec evolution analog (unpartitioned ->
+        partitioned), as a METADATA-ONLY commit: no data file is read or
+        rewritten.  Members written before this commit (their sequence
+        predates ``spec_since``) carry the partition column physically
+        and are scanned with a residual row filter by read_partitions;
+        members appended afterwards get manifest partition values and
+        prune as usual.  ``compact`` migrates the pre-evolution group to
+        the new spec when it is the compaction victim, so the table
+        converges to fully-pruned reads under normal maintenance.
+        count_rows(values=) refuses while pre-evolution members remain
+        (their rows span arbitrary values — metadata would lie).
+
+        Only unpartitioned -> partitioned is supported: one live spec at
+        a time; changing an existing spec is a rewrite, not metadata
+        (use compact after a fresh write)."""
+        base = self.current_version(table)
+        prev = self._manifest(table, base)
+        if prev.get("partition_col") is not None:
+            raise ValueError(
+                f"table '{table}' is already partitioned by "
+                f"'{prev['partition_col']}' — spec evolution only supports "
+                "unpartitioned -> partitioned"
+            )
+        if col not in prev["columns"]:
+            raise ValueError(f"partition column '{col}' not a column of '{table}'")
+        v = self._next_version(table)
+        schema = StructType.fromJson(json.loads(prev["schema"]))
+        return self._commit_version(
+            table, v, prev["members"], schema, col, expected=base,
+            deletes=prev.get("deletes"), spec_since=int(v[1:]),
+        )
+
+    # ------------------------------------------------- idempotent writes
+    def last_txn(self, table: str, txn_key: str) -> int:
+        """Highest transaction id committed for ``txn_key`` on the current
+        snapshot, or -1 (Delta's txnVersion analog).  Maintenance commits
+        (append/merge/compact/delete/stage) inherit the map, so the mark
+        survives table upkeep; a full ``write()`` rewrite resets it."""
+        base = self.current_version(table)
+        if base is None:
+            return -1
+        return int((self._manifest(table, base).get("txn") or {}).get(txn_key, -1))
+
+    def append_txn(
+        self,
+        table: str,
+        df: DataFrame,
+        txn_key: str,
+        txn_id: int,
+        partition_by: list[str] | None = None,
+    ) -> str | None:
+        """Idempotent append for at-least-once producers (the Structured
+        Streaming foreachBatch contract): commit ``df`` and record
+        ``txn_id`` as ``txn_key``'s high-water mark IN THE SAME manifest
+        write, or return None if this (key, id) — or a later id — already
+        committed.  A replayed micro-batch after a crash between the
+        table commit and the producer's own checkpoint is therefore
+        skipped, never double-appended: at-least-once delivery × this
+        mark = exactly-once table rows.
+
+        ``txn_key`` must identify the producer's checkpoint lineage
+        (batch ids are per-checkpoint): reusing a key with a FRESH
+        checkpoint would silently skip the restarted stream's first
+        batches.  Replaces the reference's IntegrityError dup-key retry
+        on re-delivered rows (db_config.py:46-54) with a transactional
+        watermark — no unique index needed."""
+        if txn_id <= self.last_txn(table, txn_key):
+            return None
+        return self.append(table, df, partition_by, txn=(txn_key, int(txn_id)))
 
     def stage_append(
         self,
@@ -614,6 +786,8 @@ class TableStore:
                 "columns": [f.name for f in schema.fields],
                 "partition_col": pcol,
                 "deletes": prev.get("deletes") or [],
+                "txn": prev.get("txn") or {},
+                **({"spec_since": prev["spec_since"]} if "spec_since" in prev else {}),
                 "parent": base,
             },
         )
@@ -740,6 +914,8 @@ class TableStore:
                 "columns": [f.name for f in schema.fields],
                 "partition_col": pcol,
                 "deletes": prev.get("deletes") or [],
+                "txn": prev.get("txn") or {},
+                **({"spec_since": prev["spec_since"]} if "spec_since" in prev else {}),
                 "parent": head,
             },
         )
@@ -898,9 +1074,16 @@ class TableStore:
         prev = self._manifest(table, base_v)
         pcol = prev.get("partition_col")
         members = prev["members"]
-        by_value: dict[str | None, list[dict]] = {}
+        # members predating a partition-spec evolution form their own
+        # group (their rows span arbitrary partition values): compacting
+        # that group MIGRATES it to the current spec — the Iceberg
+        # rewrite_data_files path that converges an evolved table back to
+        # fully-pruned reads
+        prespec = object()
+        by_value: dict[object, list[dict]] = {}
         for m in members:
-            by_value.setdefault(m["value"], []).append(m)
+            key = prespec if self._pre_spec(prev, m) else m["value"]
+            by_value.setdefault(key, []).append(m)
         if not by_value:
             return None
         # NB: the unpartitioned group's key IS None — don't sentinel on it
@@ -911,15 +1094,21 @@ class TableStore:
         schema = StructType.fromJson(json.loads(prev["schema"]))
         slice_manifest = dict(prev, members=victim)
         df = self._read_members(table, slice_manifest)
-        if pcol is not None:
-            # single-partition rewrite: drop the constant column, write
-            # unpartitioned, re-tag the member with the partition value
-            df = df.drop(pcol)
         v = self._next_version(table)
-        new_members = self._write_segment(table, v, df, None)
-        if pcol is not None:
-            new_members = [dict(m, value=worst) for m in new_members]
-        kept = [m for m in members if m["value"] != worst]
+        if worst is prespec:
+            # spec migration: rewrite the old-spec slice PARTITIONED —
+            # its members get manifest values and prune from now on
+            new_members = self._write_segment(table, v, df, [pcol])
+        else:
+            if pcol is not None:
+                # single-partition rewrite: drop the constant column, write
+                # unpartitioned, re-tag the member with the partition value
+                df = df.drop(pcol)
+            new_members = self._write_segment(table, v, df, None)
+            if pcol is not None:
+                new_members = [dict(m, value=worst) for m in new_members]
+        victim_paths = {m["path"] for m in victim}
+        kept = [m for m in members if m["path"] not in victim_paths]
         # the rewrite materialized every delete applicable to the victim
         # slice; prune delete entries no remaining member is older than
         deletes = [

@@ -90,3 +90,22 @@ def test_hosts_cache_refresh_and_enforcement(spark, tmp_path):
     merged = {r["host"]: r["crawl_delay"] for r in after.collect()}
     assert merged["h00.example"] == 4
     assert merged["h1.example"] == 1  # refreshed from its (empty) robots
+
+
+def test_sitemap_index_expands_children_and_drops_junk(spark):
+    from spider_spark.robots import sitemap_index_urls
+
+    # pretty-printed index: two children, one malformed entry (no <loc>)
+    idx = (
+        "<sitemapindex>\n"
+        "  <sitemap>\n    <loc> http://a.example/sm0.xml </loc>\n"
+        "    <lastmod>2026-01-01</lastmod>\n  </sitemap>\n"
+        "  <sitemap>\n    <loc>http://a.example/sm1.xml</loc>\n  </sitemap>\n"
+        "  <sitemap><lastmod>junk</lastmod></sitemap>\n"
+        "</sitemapindex>"
+    )
+    # a plain urlset doc routed through the index parser yields nothing
+    urlset = "<urlset>\n  <url>\n    <loc>http://a.example/p0</loc>\n  </url>\n</urlset>"
+    df = spark.createDataFrame([(idx,), (urlset,)], ["sitemap_xml"])
+    got = sorted(r.url for r in sitemap_index_urls(df).collect())
+    assert got == ["http://a.example/sm0.xml", "http://a.example/sm1.xml"]
