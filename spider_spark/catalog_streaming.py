@@ -294,3 +294,77 @@ def st7_stream_lakehouse_sink(spark, sf_dir):
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+@q(
+    "st8_stream_cdc_merge",
+    # the mirror table after three ordered CDC files: file 0 inserts
+    # k 0..199 (v=k), file 1 upserts k 100..299 (v=1000+k), file 2
+    # upserts k 200..399 (v=2000+k) and DELETES k 150..179 — so the
+    # final value of every key is a pure function of which file touched
+    # it last
+    """WITH ks AS (SELECT unnest(generate_series(0, 399)) AS k)
+       SELECT CAST(k AS BIGINT) AS k,
+              CAST(CASE WHEN k < 100 THEN k
+                   WHEN k < 200 THEN 1000 + k
+                   ELSE 2000 + k END AS BIGINT) AS v
+       FROM ks WHERE NOT (k BETWEEN 150 AND 179)""",
+)
+def st8_stream_cdc_merge(spark, sf_dir):
+    """CDC apply into the REAL TableStore (streaming/lakehouse.py
+    stream_merge_table): a change feed of three files drains with
+    availableNow + maxFilesPerTrigger=1 (file order = batch order =
+    last-writer-wins), each micro-batch applied as ONE merge_upsert
+    whose snapshot swap carries the batch id (merge is NOT idempotent —
+    a replay after a later batch would resurrect overwritten values, so
+    the watermark must be transactional with the commit, not a side
+    file).  Deletes ride the same batch as that file's MERGE DELETE
+    branch.  The entry then restarts the drain on a FRESH checkpoint
+    with the SAME txn key — batch ids replay from 0 and every one must
+    be skipped (RAISES otherwise); the graded bytes are the final
+    mirror table."""
+    import time
+
+    from .storage import TableStore
+    from .streaming.lakehouse import stream_merge_table
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_st8_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    store = TableStore(spark, os.path.join(root, "store"))
+
+    def _file(df):
+        df.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)  # distinct mtimes: file source orders oldest-first
+
+    r = lambda a, b: spark.range(a, b)  # noqa: E731
+    _file(r(0, 200).select(F.col("id").alias("k"), F.col("id").alias("v"),
+                           F.lit(False).alias("del")))
+    _file(r(100, 300).select(F.col("id").alias("k"),
+                             (F.col("id") + 1000).alias("v"),
+                             F.lit(False).alias("del")))
+    _file(
+        r(200, 400).select(F.col("id").alias("k"), (F.col("id") + 2000).alias("v"),
+                           F.lit(False).alias("del"))
+        .unionByName(r(150, 180).select(F.col("id").alias("k"),
+                                        F.lit(0).cast("long").alias("v"),
+                                        F.lit(True).alias("del")))
+    )
+    schema = spark.read.parquet(src).schema
+    n1 = stream_merge_table(
+        spark, src, schema, store, "mirror", os.path.join(root, "cp"),
+        key="k", delete_col="del", txn_key="st8", max_files_per_trigger=1,
+    )
+    if n1 < 2:
+        raise RuntimeError(f"expected >=2 CDC micro-batches from 3 files, got {n1}")
+    # crash-replay: a FRESH checkpoint re-delivers batch ids from 0 with
+    # the same txn key — every batch must be skipped by the watermark
+    n2 = stream_merge_table(
+        spark, src, schema, store, "mirror", os.path.join(root, "cp2"),
+        key="k", delete_col="del", txn_key="st8", max_files_per_trigger=1,
+    )
+    if n2 != 0:
+        raise RuntimeError(f"replayed CDC batches were re-applied: {n2}")
+    return store.read("mirror").select("k", "v")

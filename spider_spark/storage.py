@@ -1005,6 +1005,7 @@ class TableStore:
         partition_by: list[str] | None = None,
         immutable_partitions: list[str] | None = None,
         delete_keys: DataFrame | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> str:
         """MERGE INTO t USING updates ON t.key=u.key
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
@@ -1035,7 +1036,7 @@ class TableStore:
             merged = updates
             if delete_keys is not None:
                 merged = merged.join(delete_keys.select(key), on=key, how="left_anti")
-            return self.write(table, merged, partition_by)
+            return self.write(table, merged, partition_by, txn=txn)
         base_v = self.current_version(table)
         prev = self._manifest(table, base_v)
         pcol = prev.get("partition_col")
@@ -1054,9 +1055,13 @@ class TableStore:
         # outstanding equality deletes were applied to the rewritten live
         # slice by the read above (and the new segment's sequence exempts
         # it); they are carried ONLY for the kept-by-reference members
+        txn_map = None
+        if txn is not None:
+            txn_map = dict(prev.get("txn") or {})
+            txn_map[txn[0]] = int(txn[1])
         return self._commit_version(
             table, v, kept + new_members, schema, pcol, expected=base_v,
-            deletes=prev.get("deletes"),
+            deletes=prev.get("deletes"), txn=txn_map,
         )
 
     def compact(self, table: str, max_members: int = 16) -> str | None:

@@ -108,3 +108,49 @@ def test_stream_transform_runs_inside_batch(spark, store, tmp_path):
     rows = store.read("sink").collect()
     assert len(rows) == 25
     assert all(r.double_id == r.id * 2 for r in rows)
+
+
+def test_stream_merge_table_cdc_exactly_once(spark, store, tmp_path):
+    import time
+
+    from pyspark.sql import functions as F
+
+    from spider_spark.streaming.lakehouse import stream_merge_table
+
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+
+    def _file(df):
+        df.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+
+    _file(spark.range(0, 10).select(F.col("id").alias("k"), F.lit("a").alias("v"),
+                                    F.lit(False).alias("del")))
+    _file(
+        spark.range(5, 12).select(F.col("id").alias("k"), F.lit("b").alias("v"),
+                                  F.lit(False).alias("del"))
+        .unionByName(spark.range(0, 2).select(F.col("id").alias("k"),
+                                              F.lit("x").alias("v"),
+                                              F.lit(True).alias("del")))
+    )
+    schema = spark.read.parquet(src).schema
+    n = stream_merge_table(
+        spark, src, schema, store, "m", str(tmp_path / "cp"),
+        key="k", delete_col="del", txn_key="t", max_files_per_trigger=1,
+    )
+    assert n == 2
+    got = {r.k: r.v for r in store.read("m").collect()}
+    # 0,1 deleted; 2..4 keep 'a'; 5..11 overwritten/inserted as 'b'
+    assert got == {**{k: "a" for k in range(2, 5)}, **{k: "b" for k in range(5, 12)}}
+
+    # crash-replay: fresh checkpoint, same txn key -> batch ids restart
+    # at 0 and every batch must be skipped (a re-applied batch 0 would
+    # resurrect keys 0,1 and downgrade 5..9 to 'a')
+    n2 = stream_merge_table(
+        spark, src, schema, store, "m", str(tmp_path / "cp2"),
+        key="k", delete_col="del", txn_key="t", max_files_per_trigger=1,
+    )
+    assert n2 == 0
+    assert {r.k: r.v for r in store.read("m").collect()} == got
