@@ -2643,6 +2643,86 @@ def d11_fuzzy_link(spark, sf_dir):
 
 
 @q(
+    "d13_incremental_dedup",
+    # incremental (new-batch-vs-corpus) exact dedup: batch A = doc_id <
+    # n/2 builds the index; batch B = the other half PLUS planted copies
+    # (doc_id+1e6 carrying the text of doc_id < 50).  Ground truth: a B
+    # doc is a dup iff its text appears in A, attributed to A's min
+    # doc_id for that text — planted copies by construction, natural
+    # cross-half dup texts included
+    """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+       a AS (SELECT text, MIN(doc_id) AS orig_id FROM documents, n
+             WHERE doc_id < n.n // 2 GROUP BY text),
+       b AS (SELECT doc_id AS new_id, text FROM documents, n
+             WHERE doc_id >= n.n // 2
+             UNION ALL
+             SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)
+       SELECT b.new_id, a.orig_id FROM b JOIN a ON b.text = a.text""",
+)
+def d13_incremental_dedup(spark, sf_dir):
+    """Incremental dedup-at-ingest — the production shape d1's
+    whole-corpus groupBy cannot take at 100 TB: round N's NEW documents
+    are checked against a PERSISTED content-hash index (a TableStore
+    table: xxhash64(text) -> first doc_id), so per-round cost is
+    O(new batch), never O(corpus); the index then absorbs the batch's
+    novel hashes by append (O(delta), the same manifest mechanics as
+    the crawl's seen table).  The entry runs the real two-round
+    lifecycle: batch A builds the index through the store, batch B
+    (with planted cross-batch copies) anti-checks against the store
+    bytes, and the graded output is B's (new_id, orig_id) dup links —
+    the twin re-derives them from text equality, so a hash/text
+    mismatch or a stale index row breaks the grade.  At scale the join
+    is bucket-pruned exactly like the seen anti-join (c3)."""
+    import hashlib as _h
+    import os
+    import shutil
+    import tempfile
+
+    from .storage import TableStore
+
+    key = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_d13_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, root)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    n = d.count()
+    a = d.filter(F.col("doc_id") < n // 2)
+    b = d.filter(F.col("doc_id") >= n // 2).unionByName(
+        d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    hashed = lambda df: df.select(  # noqa: E731  (tiny local shaping helper)
+        "doc_id", F.xxhash64("text").alias("h")
+    )
+    idx = hashed(a).groupBy("h").agg(F.min("doc_id").alias("orig_id"))
+    store.write("content_idx", idx)
+    dups = (
+        hashed(b)
+        .join(store.read("content_idx"), "h")
+        .select(F.col("doc_id").alias("new_id"), "orig_id")
+    )
+    # absorb the batch: novel hashes append (O(delta)) — graded
+    # indirectly: a second pass over B must now flag EVERYTHING
+    novel = (
+        hashed(b)
+        .join(store.read("content_idx"), "h", "left_anti")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("orig_id"))
+    )
+    store.append("content_idx", novel)
+    n_b = b.count()
+    n_second = hashed(b).join(store.read("content_idx"), "h").count()
+    if n_second < n_b:
+        raise RuntimeError(
+            f"index absorb incomplete: {n_second}/{n_b} B-docs flagged on re-check"
+        )
+    return dups
+
+
+@q(
     "d12_cluster_split",
     # leakage-free train/val split: the d6 planted-chain components are
     # ground truth (component = min base doc_id sharing the text), and
