@@ -1370,3 +1370,110 @@ def c26_table_history(spark, sf_dir):
         rows,
         "version int, members int, rows bigint, deletes int, staged int, current int",
     )
+
+
+@q(
+    "c27_bloom_point_lookup",
+    # ground truth: the table is four hash-bucketed appends of documents
+    # (doc_id % 4), each with a per-member bloom over k = 'u'||doc_id;
+    # ten point probes each open EXACTLY ONE member (the entry RAISES at
+    # the manifest level otherwise) and the exact filter restates, so
+    # the twin is just the ten-key selection
+    """SELECT doc_id, lang FROM documents
+       WHERE doc_id IN (3, 7, 42, 99, 123, 200, 311, 404, 444, 498)""",
+)
+def c27_bloom_point_lookup(spark, sf_dir):
+    """Per-member Bloom file skipping end-to-end through the REAL
+    TableStore (storage.read_point — the Iceberg/Parquet column-bloom
+    pruning analog, composing with c14's min/max stats and c18's
+    z-order): appends record a per-member bloom over the lookup key, and
+    a point probe (a URL takedown, a doc-id audit — the reference's
+    point SELECTs in phone_book.py:107) opens only the members whose
+    bloom can match.  Unlike min/max stats, blooms prune UNCLUSTERED
+    keys — the hash-bucketed appends here have fully overlapping doc_id
+    ranges, so stats alone could never skip a member.  The build hash
+    (JVM md5 double hashing) and the driver probe hash agree
+    bit-for-bit, so probing costs zero Spark jobs; each of the ten
+    probes below must prune 3 of 4 members or the entry RAISES.  The
+    parquet bytes on disk are what get graded."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .storage import TableStore
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_c27_store_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, root)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.concat(F.lit("u"), F.col("doc_id")).alias("k"),
+    )
+    for b in range(4):
+        store.append("docs", docs.filter(F.col("doc_id") % 4 == b), bloom_col="k")
+    out = None
+    for d in (3, 7, 42, 99, 123, 200, 311, 404, 444, 498):
+        cands = store.point_members("docs", "k", f"u{d}")
+        if len(cands) != 1:
+            raise AssertionError(
+                f"bloom skipping did not engage for u{d}: "
+                f"{len(cands)} members kept, expected 1"
+            )
+        hit = store.read_point("docs", "k", f"u{d}").select("doc_id", "lang")
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+@q(
+    "c28_orphan_cleanup",
+    # ground truth: evens committed first (v1), odds second; a crashed
+    # writer's orphan segment is planted then swept — the entry RAISES
+    # unless exactly the orphan went and nothing else did, so the twin
+    # restates the two committed surfaces the sweep must not touch:
+    # time-travel to v1 (evens) and the current read (everything)
+    """SELECT 'v1' AS probe, doc_id FROM documents WHERE doc_id % 2 = 0
+       UNION ALL
+       SELECT 'cur', doc_id FROM documents""",
+)
+def c28_orphan_cleanup(spark, sf_dir):
+    """Orphan-file cleanup end-to-end through the REAL TableStore
+    (storage.remove_orphans — Iceberg remove_orphan_files analog): a
+    crashed writer leaves segment bytes with no manifest (the
+    write-then-commit gap); the sweep deletes exactly those bytes while
+    every committed snapshot keeps serving — graded here by reading the
+    POST-SWEEP store through both time-travel (v1) and the current
+    pointer.  At 100 TB this is the maintenance job that keeps object-
+    store costs proportional to live data; the age window (not exercised
+    here, unit-tested) protects in-flight commits.  The parquet bytes on
+    disk are what get graded."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .storage import TableStore
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_c28_store_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, root)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    store.append("docs", docs.filter(F.col("doc_id") % 2 == 0))
+    v1 = store.current_version("docs")
+    store.append("docs", docs.filter(F.col("doc_id") % 2 == 1))
+    # simulate the crashed append: segment bytes on disk, no manifest
+    tdir = store._tdir("docs")
+    shutil.copytree(
+        os.path.join(tdir, "seg00000"), os.path.join(tdir, "seg09999")
+    )
+    removed = store.remove_orphans("docs")
+    if removed != ["seg09999"] or os.path.exists(os.path.join(tdir, "seg09999")):
+        raise AssertionError(f"orphan sweep wrong: removed={removed}")
+    old = store.read_at("docs", version=v1).select(
+        F.lit("v1").alias("probe"), "doc_id"
+    )
+    cur = store.read("docs").select(F.lit("cur").alias("probe"), "doc_id")
+    return old.unionByName(cur)

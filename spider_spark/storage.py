@@ -131,6 +131,7 @@ class TableStore:
         df: DataFrame,
         partition_by: list[str] | None,
         stats_col: str | None = None,
+        bloom_col: str | None = None,
     ) -> list[dict]:
         """Write df as the immutable segment for `version`; return its
         member records (one per partition subdir when partitioned).
@@ -160,6 +161,11 @@ class TableStore:
             else:
                 r = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
                 stats[None] = [r["lo"], r["hi"]]
+        blooms = (
+            self._bloom_build(df, partition_by[0] if partition_by else None, bloom_col)
+            if bloom_col is not None
+            else {}
+        )
         def _jsonable(pair) -> bool:
             # manifests are JSON; stats only attach for types that
             # round-trip (numbers, strings) — others simply don't skip
@@ -171,6 +177,8 @@ class TableStore:
             m = {"path": seg, "value": None, "rows": self._footer_rows(seg_path)}
             if stats_col is not None and _jsonable(stats.get(None)):
                 m["stats"] = {stats_col: stats[None]}
+            if blooms.get(None) is not None:
+                m["bloom"] = {bloom_col: blooms[None]}
             return [m]
         col = partition_by[0]
         members = []
@@ -186,6 +194,9 @@ class TableStore:
                 s = stats.get(str(value)) if value is not None else None
                 if stats_col is not None and _jsonable(s):
                     m["stats"] = {stats_col: s}
+                b = blooms.get(str(value)) if value is not None else None
+                if b is not None:
+                    m["bloom"] = {bloom_col: b}
                 members.append(m)
         return members
 
@@ -387,6 +398,127 @@ class TableStore:
             (F.col(col) >= lo) & (F.col(col) <= hi)
         )
 
+    # ------------------------------------------------------------ bloom skipping
+    _BLOOM_K = 6
+    _BLOOM_TYPES = {"string", "bigint", "int", "smallint", "tinyint"}
+
+    def _bloom_build(self, df: DataFrame, pcol: str | None, col: str) -> dict:
+        """Per-member Bloom filter over ``col`` (the Iceberg/Parquet
+        column-bloom analog): {member value (str) or None: bloom record}.
+
+        The filter uses double hashing g_i = h1 + i*h2 over the md5 of the
+        value's STRING form — md5-on-utf8 is bit-identical between the JVM
+        (F.md5 ∘ F.encode ∘ cast-to-string) and the driver's hashlib, so
+        membership probes are pure Python with zero Spark jobs.  Only
+        string/integral columns are accepted: their cast-to-string is
+        representation-stable across both sides (floats are not).
+
+        Sizing is per member from an approx distinct count (~16 bits/key,
+        k=6 → FP ≈ 1e-3), capped at 2^17 bits = 16 KB per member: a
+        saturated bloom prunes less but never lies, and the driver-side
+        manifest cost stays O(members · 16 KB) — metadata-class, the same
+        bound the candidate-bucket collects already carry."""
+        import base64
+        import math
+
+        dt = df.schema[col].dataType.simpleString()
+        if dt not in self._BLOOM_TYPES:
+            raise ValueError(
+                f"bloom_col '{col}' has type {dt}; blooms need a "
+                f"representation-stable cast-to-string type: {sorted(self._BLOOM_TYPES)}"
+            )
+        gb = [F.col(pcol)] if pcol else []
+        sizes = {}
+        for r in df.groupBy(*gb).agg(
+            F.approx_count_distinct(col).alias("nd")
+        ).collect():
+            key = str(r[pcol]) if pcol else None
+            nd = max(int(r["nd"]), 1)
+            sizes[key] = 1 << max(10, min(17, math.ceil(math.log2(16 * nd))))
+        if not sizes:
+            return {}
+        s = F.col(col).cast("string")
+        hx = F.md5(F.encode(s, "UTF-8"))
+        h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+        h2 = F.conv(F.substring(hx, 16, 15), 16, 10).cast("long").bitwiseOR(F.lit(1))
+        if pcol:
+            bits_c = F.lit(None).cast("long")
+            for key, b in sizes.items():
+                bits_c = F.when(F.col(pcol).cast("string") == key, F.lit(b)).otherwise(bits_c)
+        else:
+            bits_c = F.lit(sizes[None])
+        pos = F.explode(
+            F.array(*[F.pmod(h1 + F.lit(i) * h2, bits_c) for i in range(self._BLOOM_K)])
+        ).alias("pos")
+        out = {}
+        for r in df.select(*gb, pos).groupBy(*gb).agg(
+            F.collect_set("pos").alias("ps")
+        ).collect():
+            key = str(r[pcol]) if pcol else None
+            bits = sizes[key]
+            buf = bytearray(bits >> 3)
+            for p in r["ps"]:
+                buf[p >> 3] |= 1 << (p & 7)
+            out[key] = {
+                "bits": bits,
+                "k": self._BLOOM_K,
+                "b64": base64.b64encode(bytes(buf)).decode("ascii"),
+            }
+        return out
+
+    @staticmethod
+    def _bloom_hit(bloom: dict, value) -> bool:
+        """Driver-side membership probe — md5 double hashing, identical to
+        the JVM-side build hash by construction (see _bloom_build)."""
+        import base64
+        import hashlib
+
+        hx = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+        h1 = int(hx[:15], 16)
+        h2 = int(hx[15:30], 16) | 1
+        buf = base64.b64decode(bloom["b64"])
+        bits, k = bloom["bits"], bloom["k"]
+        return all(
+            (buf[p >> 3] >> (p & 7)) & 1
+            for p in ((h1 + i * h2) % bits for i in range(k))
+        )
+
+    def point_members(self, table: str, col: str, value) -> list[dict]:
+        """Members that COULD hold rows with ``col == value``: a member
+        whose bloom rejects the value is skipped at the manifest level;
+        [min, max] stats compose when present; members without either are
+        conservatively kept.  False positives cost an extra member read,
+        never a wrong answer — the same contract as the crawl's seen-set
+        bloom."""
+        if value is None:
+            raise ValueError("point_members: equality-to-NULL never matches; no probe")
+        out = []
+        for m in self._manifest(table)["members"]:
+            s = (m.get("stats") or {}).get(col)
+            if s is not None:
+                try:
+                    if value < s[0] or value > s[1]:
+                        continue
+                except TypeError:
+                    pass  # incomparable representations: keep conservatively
+            b = (m.get("bloom") or {}).get(col)
+            if b is not None and not self._bloom_hit(b, value):
+                continue
+            out.append(m)
+        return out
+
+    def read_point(self, table: str, col: str, value) -> DataFrame:
+        """Point-lookup scan that opens ONLY the members whose bloom (or
+        stats interval) can match ``col == value`` — the Iceberg
+        bloom-filter file-skipping analog.  The exact equality filter
+        still applies (blooms only prune, never answer), and merge-on-read
+        deletes compose through _read_members exactly as in read_range.
+        On an append-heavy 100 TB table a point probe (a URL takedown, a
+        doc-id audit) touches O(1) members instead of every file."""
+        m = self._manifest(table)
+        pruned = dict(m, members=self.point_members(table, col, value))
+        return self._read_members(table, pruned).filter(F.col(col) == F.lit(value))
+
     def count_rows(self, table: str, values=None) -> int:
         """Iceberg count-pushdown analog: COUNT(*) answered ENTIRELY from
         manifest metadata — zero parquet I/O, zero Spark jobs.  With
@@ -574,6 +706,7 @@ class TableStore:
         df: DataFrame,
         partition_by: list[str] | None = None,
         stats_col: str | None = None,
+        bloom_col: str | None = None,
         txn: tuple[str, int] | None = None,
     ) -> str:
         """Full-snapshot write: one new segment is the whole table.
@@ -585,7 +718,9 @@ class TableStore:
         between scanning the whole table and scanning the live slice)."""
         os.makedirs(self._tdir(table), exist_ok=True)
         v = self._next_version(table)
-        members = self._write_segment(table, v, df, partition_by, stats_col=stats_col)
+        members = self._write_segment(
+            table, v, df, partition_by, stats_col=stats_col, bloom_col=bloom_col
+        )
         pcol = partition_by[0] if partition_by else None
         return self._commit_version(
             table, v, members, df.schema, pcol,
@@ -599,6 +734,7 @@ class TableStore:
         partition_by: list[str] | None = None,
         allow_evolution: bool = False,
         stats_col: str | None = None,
+        bloom_col: str | None = None,
         txn: tuple[str, int] | None = None,
     ) -> str:
         """Iceberg-append analog: write ONLY df as a new segment and link
@@ -614,7 +750,10 @@ class TableStore:
         each snapshot with its own snapshot-time schema."""
         base = self.current_version(table)
         if base is None:
-            return self.write(table, df, partition_by, stats_col=stats_col, txn=txn)
+            return self.write(
+                table, df, partition_by, stats_col=stats_col,
+                bloom_col=bloom_col, txn=txn,
+            )
         prev = self._manifest(table, base)
         pcol = prev.get("partition_col")
         if partition_by and partition_by[0] != pcol:
@@ -622,7 +761,8 @@ class TableStore:
         self._check_schema(table, df, prev, "append", allow_evolution=allow_evolution)
         v = self._next_version(table)
         new_members = self._write_segment(
-            table, v, df, [pcol] if pcol else None, stats_col=stats_col
+            table, v, df, [pcol] if pcol else None,
+            stats_col=stats_col, bloom_col=bloom_col,
         )
         schema = StructType.fromJson(json.loads(prev["schema"]))
         committed_names = {f.name for f in schema.fields}
@@ -1194,6 +1334,64 @@ class TableStore:
             ):
                 self._clear_pointer(t)
         return rid
+
+    def remove_orphans(self, table: str, older_than_s: float = 0.0) -> list[str]:
+        """Iceberg remove_orphan_files analog: delete segment data that NO
+        manifest of ``table`` references — the debris of a crashed writer
+        (the segment lands before its manifest commit; a crash between
+        the two strands the bytes forever, invisible to every reader and
+        to expire_snapshots' kept-set).  Unlike expire_snapshots this
+        touches no manifests: every committed snapshot, tag, branch, and
+        time-travel read serves exactly as before — only never-committed
+        bytes go.
+
+        ``older_than_s`` is the Iceberg safety window: files younger than
+        it are kept, so an IN-FLIGHT append (segment written, commit
+        microseconds away) is never swept out from under its writer.
+        Returns the deleted paths (relative to the table dir)."""
+        import time
+
+        tdir = self._tdir(table)
+        mdir = self._mdir(table)
+        if not os.path.isdir(tdir) or not os.path.isdir(mdir):
+            return []
+        referenced: set[str] = set()
+        for f in os.listdir(mdir):
+            if not f.endswith(".json"):
+                continue
+            man = self._manifest(table, f[:-5])
+            for m in man["members"]:
+                referenced.add(m["path"])
+            for d in man.get("deletes") or []:
+                referenced.add(d["path"])
+        cutoff = time.time() - older_than_s
+        removed: list[str] = []
+
+        def _sweep(rel: str) -> None:
+            path = os.path.join(tdir, rel)
+            if os.path.getmtime(path) > cutoff:
+                return  # possibly a commit in flight: keep
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(rel)
+
+        for seg in sorted(os.listdir(tdir)):
+            seg_path = os.path.join(tdir, seg)
+            if not seg.startswith("seg") or not os.path.isdir(seg_path):
+                continue
+            if seg in referenced:
+                continue
+            subdirs = [d for d in os.listdir(seg_path) if "=" in d]
+            if not subdirs:
+                _sweep(seg)
+                continue
+            # partitioned segment: individual partition subdirs may be
+            # referenced (merge carries live slices by reference)
+            for d in sorted(subdirs):
+                if f"{seg}/{d}" not in referenced:
+                    _sweep(f"{seg}/{d}")
+            if not any("=" in d for d in os.listdir(seg_path)):
+                shutil.rmtree(seg_path, ignore_errors=True)
+        return removed
 
     def expire_snapshots(self, keep: int = 2) -> None:
         """Iceberg snapshot-expiry analog: drop all but the newest `keep`
