@@ -598,3 +598,73 @@ def g2_hits2(spark, sf_dir):
             F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
         )
     )
+
+
+@q(
+    "g7_sssp3",
+    # 3 unrolled Bellman-Ford relaxations from source 0 over the g1
+    # graph with INTEGER weights (1 + src%5 / 1 + src%7) — all-BIGINT
+    # arithmetic, so Spark and DuckDB agree bit-for-bit with no float
+    # tolerance games
+    """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+       edges AS (
+         SELECT doc_id AS src, (7 * doc_id + 13) % (SELECT n FROM nn) AS dst,
+                1 + doc_id % 5 AS w
+         FROM documents
+         UNION ALL
+         SELECT doc_id, (11 * doc_id + 29) % (SELECT n FROM nn),
+                1 + doc_id % 7
+         FROM documents),
+       d0 AS (SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist),
+       d1 AS (SELECT v, MIN(dist) AS dist FROM (
+                SELECT v, dist FROM d0
+                UNION ALL
+                SELECT e.dst, p.dist + e.w FROM edges e JOIN d0 p ON p.v = e.src)
+              GROUP BY v),
+       d2 AS (SELECT v, MIN(dist) AS dist FROM (
+                SELECT v, dist FROM d1
+                UNION ALL
+                SELECT e.dst, p.dist + e.w FROM edges e JOIN d1 p ON p.v = e.src)
+              GROUP BY v),
+       d3 AS (SELECT v, MIN(dist) AS dist FROM (
+                SELECT v, dist FROM d2
+                UNION ALL
+                SELECT e.dst, p.dist + e.w FROM edges e JOIN d2 p ON p.v = e.src)
+              GROUP BY v)
+       SELECT v AS doc_id, dist FROM d3""",
+)
+def g7_sssp3(spark, sf_dir):
+    """Hop-bounded single-source shortest paths (3 Bellman-Ford
+    relaxations) over the deterministic out-degree-2 link graph with
+    integer edge weights — the weighted sibling of g4's unweighted BFS:
+    crawl cost-to-reach scoring (redirect-chain cost, hop-budgeted
+    frontier expansion from a seed).  Each round is ONE shuffle: the
+    frontier joins edges on src, unions the previous distances, and a
+    min-agg keeps the best label per vertex — the same join+agg loop as
+    d6's components with min-PLUS instead of min; all arithmetic is
+    BIGINT so the twin is engine-exact.  At scale the production loop
+    would localCheckpoint per round (the d6 pattern) and stop when no
+    label improves (the LIMIT-1 convergence probe); 3 fixed rounds keep
+    it SQL-replicable."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = None
+    for a, b, m in ((7, 13, 5), (11, 29, 7)):
+        e = docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.lit(a) * F.col("doc_id") + F.lit(b)) % F.lit(n)).alias("dst"),
+            (F.lit(1) + F.col("doc_id") % F.lit(m)).cast("long").alias("w"),
+        )
+        edges = e if edges is None else edges.unionAll(e)
+    dist = spark.createDataFrame([(0, 0)], "v long, dist long")
+    for _ in range(3):
+        relaxed = (
+            edges.join(dist, edges["src"] == dist["v"])
+            .select(F.col("dst").alias("v"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("v")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select(F.col("v").alias("doc_id"), "dist")

@@ -368,3 +368,58 @@ def st8_stream_cdc_merge(spark, sf_dir):
     if n2 != 0:
         raise RuntimeError(f"replayed CDC batches were re-applied: {n2}")
     return store.read("mirror").select("k", "v")
+
+
+@q(
+    "st9_stream_outer_join",
+    # batch restatement of the null-augmented join: a view with no
+    # same-user click inside 30min gets a NULL r_id — the streaming form
+    # reaches the same answer incrementally, emitting each null row only
+    # when the watermark proves no future match can arrive
+    """SELECT v.event_id AS l_id, c.event_id AS r_id
+       FROM events v LEFT JOIN events c
+         ON v.user_id = c.user_id AND c.event_type = 'click'
+        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+       WHERE v.event_type = 'view'""",
+)
+def st9_stream_outer_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER join
+    (streaming/windows.stream_stream_outer_join_pairs) — the semantics
+    st5's inner join cannot express: unmatched views emit with NULL
+    click ids at watermark-driven state eviction.  Staging is the st6
+    sentinel pattern, with one twist the watermark topology forces: a
+    sentinel must carry each side's OWN event type (the watermark node
+    sits above the type filter, and the global watermark is the min of
+    both sides), so each far-future file holds a view row AND a click
+    row; sentinel #1 advances both clocks past every real view's
+    expiry, sentinel #2's batch runs the eviction pass that emits the
+    null rows, and the sentinels themselves (negative event ids) stay
+    in state, filtered here.  Output is id pairs only — no instants
+    surface, so the session timezone is irrelevant."""
+    import datetime
+    import time
+
+    from .streaming.windows import stream_stream_outer_join_pairs
+
+    src, cp = _stage(spark, sf_dir, "st9")
+    ev = spark.read.parquet(src)
+    mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    for i, days in enumerate((10, 20)):
+        rows = [
+            (int(-(2 * i + 1)), mx + datetime.timedelta(days=days), int(-1),
+             "view", 0.0, "{}"),
+            (int(-(2 * i + 2)), mx + datetime.timedelta(days=days), int(-1),
+             "click", 0.0, "{}"),
+        ]
+        (
+            spark.createDataFrame(rows, ev.schema)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(0.05)  # distinct mtimes: file source orders oldest-first
+    out = stream_stream_outer_join_pairs(spark, src, cp)
+    return out.filter(F.col("l_id") >= 0).select(
+        F.col("l_id").cast("long").alias("l_id"),
+        F.col("r_id").cast("long").alias("r_id"),
+    )

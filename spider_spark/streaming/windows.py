@@ -289,3 +289,64 @@ def session_window_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_stream_outer_join_pairs(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    left_type: str = "view",
+    right_type: str = "click",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the semantics the
+    inner form (stream_stream_join_pairs) cannot express: a left event
+    with no right match inside [ts, ts + within] still emits, with a
+    NULL right id, but only once the watermark proves no future match
+    can arrive (Spark emits null-augmented rows at state eviction, a
+    batch outer join's answer reached incrementally with bounded state).
+
+    Staging contract (st9 builds this, the st6 sentinel pattern): real
+    events in the oldest file(s); two far-future sentinel files each
+    carrying one row PER SIDE's event type (the watermark node sits
+    above the type filter, so a sentinel must survive its side's filter
+    to advance that side's clock; the global watermark is the min of
+    both).  maxFilesPerTrigger=1 drains oldest-first: sentinel #1
+    advances both watermarks past every real left row's expiry, sentinel
+    #2's batch performs the eviction pass that emits the null rows.  The
+    sentinel rows themselves stay in state unemitted and carry negative
+    ids the caller filters."""
+    schema = spark.read.parquet(events_path).schema
+
+    def _side(tag: str, ev_type: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_path)
+        )
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return s.filter(F.col("event_type") == ev_type).select(
+            F.col("event_id").alias(f"{tag}_id"),
+            F.col("user_id").alias(f"{tag}_user"),
+            F.col("ts").alias(f"{tag}_ts"),
+        ).withWatermark(f"{tag}_ts", watermark)
+
+    joined = _side("l", left_type).join(
+        _side("r", right_type),
+        F.expr(
+            f"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval {within}"
+        ),
+        "leftOuter",
+    ).select(F.col("l_id"), F.col("r_id"))
+    name = _next_name("ssoj")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{checkpoint_dir}/{name}")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
