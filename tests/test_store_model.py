@@ -37,11 +37,18 @@ def test_store_random_walk_matches_model(spark, tmp_path):
     for step in range(34):
         op = rng.choice(
             ["append", "merge", "delete", "compact", "wap_publish",
-             "wap_abandon", "reinsert", "expire", "snapshot"]
+             "wap_abandon", "reinsert", "expire", "snapshot", "orphan", "point"]
         )
         if op == "append":
             ks = fresh(rng.randrange(1, 5))
-            store.append("t", df_of([(k, f"a{k}") for k in ks]))
+            # roughly half the appends carry a per-member bloom — point
+            # probes below must stay exact under ANY mix of bloomed,
+            # bloom-less, and compaction-rewritten members
+            store.append(
+                "t",
+                df_of([(k, f"a{k}") for k in ks]),
+                bloom_col="k" if rng.random() < 0.5 else None,
+            )
             model.update({k: f"a{k}" for k in ks})
         elif op == "reinsert" and deleted:
             ks = rng.sample(sorted(deleted), min(2, len(deleted)))
@@ -75,6 +82,26 @@ def test_store_random_walk_matches_model(spark, tmp_path):
             # never published: the model is unchanged
         elif op == "expire":
             store.expire_snapshots(keep=3)
+        elif op == "orphan":
+            # crashed-writer debris: bytes on disk, no manifest — the
+            # sweep removes exactly it and nothing the model can see
+            import os
+            import shutil as _sh
+
+            src = store._manifest("t")["members"][0]["path"].split("/")[0]
+            ghost = f"seg9{step:04d}"
+            _sh.copytree(
+                os.path.join(store._tdir("t"), src),
+                os.path.join(store._tdir("t"), ghost),
+            )
+            assert store.remove_orphans("t") == [ghost]
+        elif op == "point" and model:
+            k = rng.choice(sorted(model))
+            got_p = {(r["k"], r["val"]) for r in store.read_point("t", "k", k).collect()}
+            assert got_p == {(k, model[k])}, f"point probe diverged at step {step}"
+            if deleted:
+                kd = rng.choice(sorted(deleted))
+                assert store.read_point("t", "k", kd).count() == 0
         elif op == "snapshot":
             round_id += 1
             store.commit_round(round_id)
