@@ -4032,3 +4032,37 @@ def w11_ntile_buckets(spark, sf_dir):
             / F.greatest(F.count(F.lit(1)).over(wc) - 1, F.lit(1))
         ).cast("long").alias("pr_mille"),
     )
+
+
+@q(
+    "u6_except_all",
+    # EXCEPT ALL — the MULTISET difference u2's set EXCEPT cannot
+    # express: a user with 3 big views and 1 big click keeps 2 rows
+    # (surplus view sessions not followed by a click), with exact
+    # multiplicity; same >150 thresholds as u5 keep both sides proper
+    # subsets at every SF
+    """SELECT user_id FROM events
+       WHERE event_type = 'view' AND value > 150
+       EXCEPT ALL
+       SELECT user_id FROM events
+       WHERE event_type = 'click' AND value > 150""",
+)
+def u6_except_all(spark, sf_dir):
+    """Multiset difference (DataFrame.exceptAll) — completes the set-op
+    ladder's bag semantics (u1 UNION / u2 EXCEPT / u3 UNION ALL /
+    u5 INTERSECT are set-or-append shapes; only EXCEPT ALL preserves
+    surplus MULTIPLICITY).  The crawl reading: per-user unconverted
+    big-view sessions, counted not deduplicated.  Spark plans exceptAll
+    as a per-side count aggregate + generate (replicate rows by the
+    count difference) — two partial-agg shuffles on the key, never a
+    row-by-row anti-join, so it holds at 10^10 events; multiplicities
+    make the value-hash grade strictly stronger than u2's key-set
+    grade."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter((F.col("event_type") == "view") & (F.col("value") > 150)).select(
+        "user_id"
+    )
+    c = ev.filter((F.col("event_type") == "click") & (F.col("value") > 150)).select(
+        "user_id"
+    )
+    return v.exceptAll(c)
