@@ -535,9 +535,12 @@ def main():
     # retry count so the artifact stays attributable).
     # small frontiers legitimately read low per-core (fixed overhead
     # dominates a 100k-row smoke) — the anomaly bar only means something
-    # at headline size
+    # at headline size.  Bar calibration (r5-s7): clean-window headlines
+    # read 14-20k/core at every width ever measured; mid-grade windows
+    # 9-10k; steal phases 3.6-5.3k.  12000 catches both degraded classes
+    # and sits under the worst clean reading.
     retry_bar = (
-        float(os.environ.get("SPARK_GRAFT_HEADLINE_RETRY_BAR", "8000"))
+        float(os.environ.get("SPARK_GRAFT_HEADLINE_RETRY_BAR", "12000"))
         if n_frontier >= 1_000_000
         else 0.0
     )
@@ -728,6 +731,13 @@ def main():
             "hw_scaling_median": (
                 round(hw_vals[len(hw_vals) // 2], 3) if hw_vals else None
             ),
+            # median across ALL pairs: robust to a single glitched bw
+            # probe (r5-s7: one pair read hw_scaling 4.4 and its own
+            # hw_adj 0.19 while the other seven sat 0.78-0.97)
+            "efficiency_hw_adj_median": (lambda v: (
+                round(v[len(v) // 2], 3) if v else None
+            ))(sorted(p["efficiency_hw_adj"] for p in pair_log
+                      if p.get("efficiency_hw_adj"))),
             "pinned": bool(__import__("shutil").which("taskset")),
             "probe_best_mops": round(_PROBE_BEST / 1e6, 1),
             "probe_wait_sec": round(wait_spent[0], 1),
