@@ -4066,3 +4066,146 @@ def u6_except_all(spark, sf_dir):
         "user_id"
     )
     return v.exceptAll(c)
+
+
+@q(
+    "w12_rows_frame_trail3",
+    # ROWS-frame sibling of w10's RANGE frame: trailing-3-events sum per
+    # user; the (ts, event_id) order is TOTAL (event_id unique) so the
+    # row frame is engine-exact; integer milli-scaled summand (w10 rule)
+    """SELECT event_id, user_id,
+              CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail3
+       FROM events""",
+)
+def w12_rows_frame_trail3(spark, sf_dir):
+    """ROWS window frame — the physical frame processor w10's RANGE
+    frame does not exercise (a row frame slides by COUNT, a range frame
+    by value; Spark plans them with different frame processors): per
+    event, the sum of this user's last three events.  ROWS frames are
+    only deterministic under a TOTAL order, so event_id breaks ts ties
+    — without it, equal-ts rows could legally swap and change every
+    frame they straddle (the class of bug the w10 docstring ducks by
+    using RANGE).  Summand is floor(value*1000) BIGINT: IEEE double
+    multiply is bit-deterministic cross-engine, and integer addition
+    commutes, so no float-summation-order tolerance games.  Plan: ONE
+    hash exchange on user_id, per-partition sort, O(1)-memory sliding
+    frame — no shuffle amplification at 100 TB."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).over(w)
+        .cast("long").alias("trail3"),
+    )
+
+
+@q(
+    "i5_proximity_query",
+    # unordered windowed co-occurrence: docs where 'order' and 'fast'
+    # land within 3 positions IN EITHER ORDER — strictly more than i3's
+    # exact adjacency (which it contains); per doc the qualifying pair
+    # count and the closest distance
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                  FROM documents WHERE length(trim(text)) > 0),
+       p AS (SELECT doc_id, unnest(toks) AS tok,
+                    unnest(generate_series(1, len(toks))) AS pos
+             FROM t),
+       a AS (SELECT doc_id, pos FROM p WHERE tok = 'order'),
+       b AS (SELECT doc_id, pos FROM p WHERE tok = 'fast')
+       SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              CAST(MIN(abs(a.pos - b.pos)) AS INT) AS min_dist
+       FROM a JOIN b ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 3
+       GROUP BY a.doc_id""",
+)
+def i5_proximity_query(spark, sf_dir):
+    """Proximity (NEAR/k) retrieval — the rung between i3's exact
+    phrase and i4's bag-of-words AND: both terms within k positions in
+    either order, the query class behind "terms near each other"
+    operators (Lucene SpanNearQuery).  Positional postings come from
+    ONE posexplode pass filtered to the two query terms BEFORE any
+    shuffle (the i2 pruning rule), then a per-doc equi-join of the two
+    position lists with the |Δpos| <= k refine — pair blowup is bounded
+    by per-doc term frequency, never corpus size.  At 100 TB this is
+    two term-pruned posting scans and one doc-keyed equi-join — the
+    same shape a real positional index serves from disk."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "tok"))
+        .filter(F.col("tok").isin("order", "fast"))
+        .select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
+    )
+    a = toks.filter(F.col("tok") == "order").select("doc_id", F.col("pos").alias("pa"))
+    b = toks.filter(F.col("tok") == "fast").select("doc_id", F.col("pos").alias("pb"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.abs(F.col("pa") - F.col("pb")) <= 3)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(F.abs(F.col("pa") - F.col("pb"))).cast("int").alias("min_dist"),
+        )
+    )
+
+
+@q(
+    "t22_vocab_coverage",
+    # tokenizer-vocabulary truncation: the smallest count-ranked prefix
+    # covering 90% of corpus token mass — keep iff the EXCLUSIVE prefix
+    # sum is still short of 90%, all-BIGINT ((cum-cnt)*10 < 9*total);
+    # (count DESC, token ASC) is a total order so ranks are engine-exact
+    """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                  FROM documents WHERE length(trim(text)) > 0),
+       c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t
+             WHERE tok <> '' GROUP BY tok),
+       tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+       w AS (SELECT tok, cnt,
+                    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rnk
+             FROM c)
+       SELECT tok, cnt, rnk FROM w, tot
+       WHERE (cum - cnt) * 10 < 9 * tot.total""",
+)
+def t22_vocab_coverage(spark, sf_dir):
+    """Vocabulary-coverage truncation — the tokenizer-building step
+    after t21's merge ranking: keep the smallest frequency-ranked token
+    prefix covering 90% of corpus mass (how vocab sizes and OOV budgets
+    get chosen).  The keep rule uses the EXCLUSIVE prefix sum in BIGINT
+    ((cum - cnt)*10 < 9*total) so the boundary token — the one that
+    crosses 90% — is kept by both engines identically, no float
+    fractions anywhere; (count DESC, token ASC) totalizes the order so
+    rank/cumsum are engine-exact.  Plan shape: the corpus-sized work is
+    ONE count aggregate (map-side partial); the window then runs over
+    the AGGREGATED vocabulary — |V| rows, bounded and ~10^6 at web
+    scale, the standard single-partition tail every vocab builder pays
+    (t20's two-phase bucket rank is the escape hatch if |V| ever
+    isn't)."""
+    c = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = c.agg(F.sum("cnt").alias("total"))
+    wspec = Window.orderBy(F.col("cnt").desc(), "tok")
+    w = c.select(
+        "tok",
+        "cnt",
+        F.sum("cnt").over(wspec.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("cum"),
+        F.row_number().over(wspec).cast("long").alias("rnk"),
+    )
+    return (
+        w.crossJoin(F.broadcast(total))
+        .filter((F.col("cum") - F.col("cnt")) * 10 < 9 * F.col("total"))
+        .select("tok", "cnt", "rnk")
+    )
