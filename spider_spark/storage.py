@@ -951,6 +951,79 @@ class TableStore:
         self._set_pointer(table, version)
         return version
 
+    def rollback(self, table: str, version: str | None = None, round_id: int | None = None) -> str:
+        """Delta ``RESTORE`` / Iceberg rollback analog: make the table
+        serve an earlier snapshot's CONTENT again by committing a NEW
+        version whose manifest copies the target's members, schema,
+        partition spec, and outstanding deletes.  History is preserved —
+        the rolled-past commits stay auditable via ``history``/``read_at``
+        — unlike a raw pointer move, which would let ``_next_version``
+        reuse and clobber their numbers.  No data file is read or
+        written: the restored members are the target's immutable
+        segments, so rollback is O(1) metadata regardless of table size.
+
+        Two deliberate asymmetries vs a naive manifest copy:
+
+        * the txn high-water map is inherited from the CURRENT snapshot,
+          not the target — rolling back table content must never rewind a
+          streaming sink's exactly-once watermark, or the producer's next
+          replayed micro-batch would double-append into the restored
+          table (same rule ``_commit_version`` applies to maintenance
+          commits);
+        * a staged, never-published snapshot is refused — WAP audit
+          candidates become visible through ``publish``'s parent CAS,
+          and restoring one would expose unaudited rows while skipping
+          that gate.
+
+        ``read_changes`` across a rollback raises by construction (the
+        base member set is no longer a subset of the target's), exactly
+        as it does across compaction — the incremental-scan contract
+        stays honest.
+
+        Reference capability: the operational recovery the crawler did by
+        restoring MySQL dumps after a bad batch (db_config.py's manual
+        re-load workflow), here as a constant-time, history-preserving
+        commit."""
+        cur = self.current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"table {table} has no committed version")
+        if version is None:
+            if round_id is None:
+                raise ValueError("rollback needs round_id or version")
+            version = self._version_at_round(table, round_id)
+        if not os.path.exists(self._mpath(table, version)):
+            raise ValueError(f"table '{table}' has no snapshot {version}")
+        if version == cur:
+            return cur
+        target = self._manifest(table, version)
+        if "parent" in target:
+            raise ValueError(
+                f"version {version} of '{table}' is a staged (WAP) snapshot — "
+                f"expose it with publish(), not rollback()"
+            )
+        cur_man = self._manifest(table, cur)
+        v = self._next_version(table)
+        manifest = {
+            "members": target["members"],
+            "schema": target["schema"],
+            "columns": target["columns"],
+            "partition_col": target.get("partition_col"),
+            "deletes": target.get("deletes") or [],
+            # watermarks ride the content rollback: see docstring
+            "txn": cur_man.get("txn") or {},
+        }
+        # the restored members' physical layout is the TARGET's, so its
+        # spec boundary (not the current one) must govern residual reads
+        if target.get("spec_since") is not None:
+            manifest["spec_since"] = int(target["spec_since"])
+        if self.current_version(table) != cur:
+            raise ConcurrentCommitError(
+                f"table '{table}': another writer committed during rollback"
+            )
+        self._write_manifest(table, v, manifest)
+        self._set_pointer(table, v)
+        return v
+
     # ------------------------------------------------------------ refs
     def _refs_dir(self, table: str) -> str:
         return os.path.join(self._tdir(table), "_refs")
