@@ -4209,3 +4209,114 @@ def t22_vocab_coverage(spark, sf_dir):
         .filter((F.col("cum") - F.col("cnt")) * 10 < 9 * F.col("total"))
         .select("tok", "cnt", "rnk")
     )
+
+
+@q(
+    "t23_hashed_classifier",
+    # fastText-style hashed linear classifier, integer-exact: tokens
+    # hash to 256 buckets via the engine-shared md5 2-hex-char prefix;
+    # each bucket's weight is the SIGN of its CLASS-BALANCED margin
+    # sg*T_bad - sb*T_good (per-bucket class counts cross-scaled by the
+    # OTHER class's total, the exact integer form of a rate difference
+    # — an unbalanced margin would just learn which class has more
+    # tokens) under the surrogate label good = (lang = 'en'); a doc's
+    # score is the tf-weighted sum of its buckets' weights — all
+    # BIGINT arithmetic, no float boundary anywhere
+    """WITH toks AS (
+         SELECT doc_id, lang = 'en' AS good,
+                substr(md5(term), 1, 2) AS bucket
+         FROM (SELECT doc_id, lang,
+                      unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+               FROM documents WHERE length(trim(text)) > 0)),
+       tf AS (SELECT doc_id, good, bucket, COUNT(*) AS tf
+              FROM toks GROUP BY doc_id, good, bucket),
+       bk AS (SELECT bucket,
+                     CAST(SUM(CASE WHEN good THEN tf ELSE 0 END) AS BIGINT) AS sg,
+                     CAST(SUM(CASE WHEN good THEN 0 ELSE tf END) AS BIGINT) AS sb
+              FROM tf GROUP BY bucket),
+       tot AS (SELECT CAST(SUM(sg) AS BIGINT) AS t_good,
+                      CAST(SUM(sb) AS BIGINT) AS t_bad FROM bk),
+       model AS (
+         SELECT bucket,
+                CASE WHEN sg * t_bad > sb * t_good THEN 1
+                     WHEN sg * t_bad < sb * t_good THEN -1
+                     ELSE 0 END AS w
+         FROM bk, tot)
+       SELECT t.doc_id,
+              CAST(SUM(t.tf * m.w) AS BIGINT) AS score,
+              SUM(t.tf * m.w) > 0 AS keep
+       FROM tf t JOIN model m USING (bucket)
+       GROUP BY t.doc_id""",
+)
+def t23_hashed_classifier(spark, sf_dir):
+    """Quality filtering with a trained linear classifier — the
+    fastText-shaped gate every production LLM corpus passes through
+    (CCNet/GPT-3 style), as hashed bag-of-tokens: hash each token to a
+    small bucket space, learn one integer weight per bucket from
+    labeled examples, score a document as the weighted sum of its
+    token-bucket counts.  Labels here are a deterministic surrogate
+    (lang = 'en') so training is self-contained and the twin can
+    re-derive the exact model; weights are the SIGN of the
+    CLASS-BALANCED per-bucket margin sg*T_bad - sb*T_good (the exact
+    integer form of an occurrence-rate difference — the unbalanced
+    margin would only learn which class has more total tokens),
+    making train AND inference all-integer — engine-exact with zero
+    float tolerance.  Plan shape: ONE explode feeds a (doc_id, bucket)
+    tf aggregate (map-side combine bounds stopword skew, i1's trick),
+    localCheckpointed because both the model build and the scoring
+    join consume it (g5's rule: two consumers of an explode subtree
+    would otherwise recompute the corpus scan twice); the cross-scale
+    products happen on the 256-row bucket aggregate (never per
+    document), and the 256-row model broadcasts, so scoring adds no
+    shuffle beyond the final per-doc sum.  At 100 TB: identical shape
+    — the model is always tiny (hash-bucket count, not vocab size),
+    which is the entire point of the hashing trick; with ~10^14-token
+    classes the sg*T products need the margin re-expressed over a
+    common divisor (or DECIMAL), a representation change only."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            (F.col("lang") == "en").alias("good"),
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("term"),
+        )
+        .select(
+            "doc_id",
+            "good",
+            F.substring(F.md5(F.col("term").cast("binary")), 1, 2).alias("bucket"),
+        )
+    )
+    tf = (
+        toks.groupBy("doc_id", "good", "bucket")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    bk = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col("good"), F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sg"),
+        F.sum(F.when(F.col("good"), F.lit(0)).otherwise(F.col("tf")))
+        .cast("long")
+        .alias("sb"),
+    )
+    tot = bk.agg(
+        F.sum("sg").cast("long").alias("t_good"),
+        F.sum("sb").cast("long").alias("t_bad"),
+    )
+    model = bk.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.when(F.col("sg") * F.col("t_bad") > F.col("sb") * F.col("t_good"), F.lit(1))
+        .when(F.col("sg") * F.col("t_bad") < F.col("sb") * F.col("t_good"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("w"),
+    )
+    return (
+        tf.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("w")).cast("long").alias("score"),
+            (F.sum(F.col("tf") * F.col("w")) > 0).alias("keep"),
+        )
+    )
