@@ -815,6 +815,38 @@ class TableStore:
             )
         return out
 
+    def files(self, table: str, version: str | None = None) -> DataFrame:
+        """Iceberg ``SELECT * FROM t.files`` metadata-table analog: the
+        current (or any) snapshot's data-file census as a queryable
+        DataFrame — member path, write sequence, partition value, footer
+        row count, which skipping indexes the manifest holds for it
+        (column stats / per-member bloom), and whether it predates the
+        partition-spec boundary.  Metadata-only: built from manifest
+        JSON, zero parquet I/O — the planning surface a maintenance job
+        (compaction targeting, small-file reports, stats-coverage
+        audits) queries at 100 TB without touching data.  Like
+        ``history`` this is the PHYSICAL census: rows under an
+        outstanding equality delete still count until compact
+        materializes them away."""
+        man = self._manifest(table, version)
+        recs = [
+            (
+                m["path"],
+                self._member_seq(m),
+                m.get("value"),
+                int(m.get("rows", 0)),
+                sorted((m.get("stats") or {}).keys()),
+                sorted((m.get("bloom") or {}).keys()),
+                self._pre_spec(man, m),
+            )
+            for m in man["members"]
+        ]
+        schema = (
+            "path string, seq int, part string, rows bigint, "
+            "stats_cols array<string>, bloom_cols array<string>, pre_spec boolean"
+        )
+        return self.spark.createDataFrame(recs, schema)
+
     def evolve_partition_spec(self, table: str, col: str) -> str:
         """Iceberg partition-spec evolution analog (unpartitioned ->
         partitioned), as a METADATA-ONLY commit: no data file is read or
