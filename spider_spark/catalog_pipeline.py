@@ -4320,3 +4320,71 @@ def t23_hashed_classifier(spark, sf_dir):
             (F.sum(F.col("tf") * F.col("w")) > 0).alias("keep"),
         )
     )
+
+
+@q(
+    "d14_prefix_filter_join",
+    # analytic ground truth over a CONSTRUCTED token universe: base doc
+    # s holds 20 'w'-namespace tokens ((s*17 + j*j) % 9973, j<20 — the
+    # squares are distinct below the modulus so |set| is exactly 20);
+    # its planted twin s+1e6 keeps the first 20-r and swaps the last
+    # r = 2 + s%2 into the disjoint 'u' namespace, giving J = 18/22
+    # (kept) for even s and 17/23 (dropped) for odd s.  Natural
+    # overlaps are bounded by the quadratic-residue equation
+    # 17*(s-s') = j'^2 - j^2 (mod 9973) — a handful of shared tokens,
+    # never the 18 the threshold needs — so the FULL join output is
+    # exactly the even planted pairs
+    """SELECT doc_id AS id_a, CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+              CAST(18 AS BIGINT) AS n_inter, CAST(22 AS BIGINT) AS n_union
+       FROM documents WHERE doc_id % 2 = 0""",
+)
+def d14_prefix_filter_join(spark, sf_dir):
+    """EXACT Jaccard-threshold similarity join via prefix filtering
+    (functions/dedup.prefix_filter_pairs — AllPairs/PPJoin): the
+    zero-false-negative tier of the dedup ladder, complementing the
+    probabilistic MinHash-LSH tier (d2) — candidates come from a
+    rarest-token-first prefix equi-join (provably complete by the
+    pigeonhole rule in the helper's docstring), verification is an
+    integer predicate.  The UNRESTRICTED output is graded: the operator
+    must find every planted >= 0.8 pair, reject every 17/23 near-miss
+    twin, and reject every natural low-overlap candidate — recall AND
+    precision at the exact boundary, which the LSH entries cannot
+    certify.  Brute-force equality on a mixed corpus is gated in
+    tests/test_prefix_filter.py."""
+    from .functions.dedup import prefix_filter_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    base = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    ((F.col("doc_id") * 17 + j * j) % 9973).cast("string"),
+                ),
+            )
+        ).alias("tok"),
+    )
+    twin = d.select(
+        (F.col("doc_id") + 1_000_000).alias("tid"),
+        F.col("doc_id").alias("s"),
+    ).select(
+        F.col("tid").alias("doc_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda j: F.when(
+                    j < F.lit(20) - (F.lit(2) + F.col("s") % 2),
+                    F.concat(
+                        F.lit("w"), ((F.col("s") * 17 + j * j) % 9973).cast("string")
+                    ),
+                ).otherwise(
+                    F.concat(F.lit("u"), (F.col("s") * 17 + j).cast("string"))
+                ),
+            )
+        ).alias("tok"),
+    )
+    return prefix_filter_pairs(base.unionByName(twin), threshold=(4, 5))

@@ -687,3 +687,17 @@ def test_w11_one_exchange_serves_both_windows(spark):
     plan = _plan(QUERIES["w11_ntile_buckets"](spark, SF_DIR), mode="simple")
     assert plan.count("hashpartitioning") == 1
     assert "rangepartitioning" not in plan
+
+
+def test_d14_prefix_filter_equi_joins_no_cartesian(spark):
+    """The prefix-filter similarity join must stay equi-join-shaped end
+    to end: candidate generation is a token equi-join over the pruned
+    prefixes and verification is candidate-bounded array_intersect —
+    an all-pairs cartesian anywhere would defeat the algorithm."""
+    from spider_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["d14_prefix_filter_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the checkpointed token relation feeds df-count, rank, and verify
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
