@@ -738,7 +738,13 @@ GRADED_WINDOW = [
     # keeps the family; c17 in — the foreign operational-store sink
     # (S5/S10 as CONNECTORS): write_foreign through a real cross-process
     # O_EXCL unique-key store, read back, first-wins SQL twin)
-    "r1_credit_query_parse", "c14_stats_skip_scan", "r3_phone_book_parse",
+    # (r5 final9: r3 phone-book parse out — r1/r6 keep the record-parser
+    # family and r3 stays oracle-gated in the tail; d14 in — the EXACT
+    # Jaccard-threshold similarity join (prefix filtering, AllPairs/
+    # PPJoin): zero-false-negative dedup tier the probabilistic LSH
+    # entries cannot certify, graded on constructed twins straddling
+    # the 0.8 boundary)
+    "r1_credit_query_parse", "c14_stats_skip_scan", "d14_prefix_filter_join",
     # (r5 final8: r4 operator-JSON out — the nested-JSON parse shape is
     # graded by f1 and r1/r3/r6 keep the record-parser family; st7 in —
     # exactly-once streaming ingest into the TableStore, graded on real

@@ -1592,3 +1592,71 @@ def c30_files_metadata(spark, sf_dir):
         F.col("rows").alias("n_rows"),
         F.concat_ws(",", "stats_cols").alias("stats_cols"),
     )
+
+
+@q(
+    "c31_incremental_join_view",
+    # ground truth: the maintained join view after two rounds must equal
+    # the full A-join-B recompute — A covers doc_id < 300 (base < 200,
+    # delta [200,300)), B covers [0,50) u [100,300) (base [100,250),
+    # delta [250,300) u [0,50)) — so the view is exactly the id
+    # intersection with each side's payload columns
+    """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars2
+       FROM documents
+       WHERE doc_id < 300 AND (doc_id < 50 OR doc_id >= 100)""",
+)
+def c31_incremental_join_view(spark, sf_dir):
+    """Incremental maintenance of a materialized JOIN view over two
+    independently-appending store tables — the delta-join identity
+    d(A JOIN B) = dA JOIN B_new  UNION  A_old JOIN dB (every new pair
+    contains a delta row from at least one side; pairs (dA, dB) land
+    exactly once, in the first term).  The deltas come from the REAL
+    read_changes incremental scan (O(delta) I/O) and the old snapshot
+    from read_at, so maintaining the view after a round costs
+    O(|dA| + |dB|) joins against indexed sides instead of re-joining
+    two 100 TB tables — the derived-table refresh pattern every
+    training-data pipeline runs between crawl rounds.  The entry RAISES
+    unless the incrementally-maintained view is row-identical to the
+    full recompute (exceptAll both directions), then grades the view's
+    content against the slice-formula twin."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .storage import TableStore
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_c31_store_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, root)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    a_all = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+    b_all = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars2"),
+    )
+    # round 1: bases + the initial view
+    store.append("a", a_all.filter(F.col("doc_id") < 200))
+    store.append("b", b_all.filter(F.col("doc_id").between(100, 249)))
+    store.append("view", store.read("a").join(store.read("b"), "doc_id"))
+    store.commit_round(1)
+    # round 2: both sides append independently
+    store.append("a", a_all.filter(F.col("doc_id") >= 200))
+    store.append(
+        "b", b_all.filter((F.col("doc_id") >= 250) | (F.col("doc_id") < 50))
+    )
+    store.commit_round(2)
+    # incremental refresh from the REAL change scans
+    da = store.read_changes("a", since_round=1)
+    db = store.read_changes("b", since_round=1)
+    a_old = store.read_at("a", round_id=1)
+    b_new = store.read("b")
+    delta_view = da.join(b_new, "doc_id").unionByName(
+        a_old.join(db, "doc_id").select(da.join(b_new, "doc_id").columns)
+    )
+    store.append("view", delta_view)
+    view = store.read("view")
+    full = store.read("a").join(store.read("b"), "doc_id")
+    if view.exceptAll(full).count() != 0 or full.exceptAll(view).count() != 0:
+        raise AssertionError("incremental view diverged from full recompute")
+    return view.select("doc_id", "lang", "n_chars2")

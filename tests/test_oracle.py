@@ -99,8 +99,8 @@ def test_graded_window_is_oracle_dense():
     assert first50 == GRADED_WINDOW
     assert all(n in ORACLES for n in first50)
     for family in (
-        "r1", "r3", "r6", "c17",
-        "d1", "d2", "s13", "d6", "d8", "d10", "t19", "t12", "p11", "q3", "s1",
+        "r1", "r6", "c17",
+        "d1", "d2", "d14", "s13", "d6", "d8", "d10", "t19", "t12", "p11", "q3", "s1",
         "s5", "s10", "m2", "m3", "m4", "m8", "c3", "c12", "c13", "c14", "c25",
         "st1", "st3", "st5", "st7", "j8", "j9", "j10", "g1", "c18", "a13",
         "c20", "i2",
