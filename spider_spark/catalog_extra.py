@@ -668,3 +668,72 @@ def g7_sssp3(spark, sf_dir):
             .agg(F.min("dist").alias("dist"))
         )
     return dist.select(F.col("v").alias("doc_id"), "dist")
+
+
+def _kcore_twin_sql(k: int = 3, rounds: int = 6) -> str:
+    """Unrolled synchronized-peeling twin (g1/g2/g7 pattern): each round
+    recounts degrees among the previous round's survivors and keeps
+    >= k.  ``rounds`` exceeds the measured peel depth at every SF (5 at
+    sf0.1 including the final no-op), so the last alive set IS the
+    fixpoint — and the Spark side independently certifies convergence
+    (k_core raises if the fixpoint needs more rounds than its bound)."""
+    blocks = [
+        "nn AS (SELECT COUNT(*) AS n FROM documents)",
+        """e0 AS (
+         SELECT doc_id AS src,
+                (doc_id * doc_id + 13) % (SELECT n FROM nn) AS dst
+         FROM documents
+         UNION ALL
+         SELECT doc_id,
+                (doc_id * doc_id * doc_id + 29) % (SELECT n FROM nn)
+         FROM documents)""",
+        """ud AS (SELECT src AS a, dst AS b FROM e0 WHERE src <> dst
+              UNION
+              SELECT dst, src FROM e0 WHERE src <> dst)""",
+        "a0 AS (SELECT DISTINCT a FROM ud)",
+    ]
+    for r in range(1, rounds + 1):
+        blocks.append(
+            f"""d{r} AS (SELECT u.a, COUNT(*) AS c FROM ud u
+               JOIN a{r - 1} x ON u.a = x.a
+               JOIN a{r - 1} y ON u.b = y.a GROUP BY u.a)"""
+        )
+        blocks.append(f"a{r} AS (SELECT a FROM d{r} WHERE c >= {k})")
+    return (
+        "WITH " + ",\n       ".join(blocks) + f"""
+       SELECT u.a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       FROM ud u
+       JOIN a{rounds} x ON u.a = x.a
+       JOIN a{rounds} y ON u.b = y.a
+       GROUP BY u.a"""
+    )
+
+
+@q(
+    "g8_kcore",
+    # 3-core of the g2 skewed graph (dst = id^2+13 / id^3+29 mod N —
+    # varied degrees, so peeling genuinely cascades: 3 rounds at
+    # sf0.001/0.01, 5 at sf0.1) — the twin unrolls 6 synchronized peel
+    # rounds, past the fixpoint at every SF, while the Spark side
+    # CERTIFIES convergence (k_core raises otherwise), so both compute
+    # the true k-core, not a truncation
+    _kcore_twin_sql(),
+)
+def g8_kcore(spark, sf_dir):
+    """k-core decomposition (functions/graph.k_core): iterated removal
+    of vertices with < k surviving neighbors until fixpoint — the
+    standard link-graph quality tier (spam tendrils and dead-end chains
+    peel off; densely-linked regions survive) and the graph sibling of
+    the dedup ladder's component fixpoints.  All-integer (degrees), so
+    engine-exact; convergence is certified, not assumed — the helper
+    RAISES if the peel does not stabilize within its round bound.
+    Output: surviving vertices with their in-core degree."""
+    from .functions.graph import k_core
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("doc_id"))
+    n = docs.count()
+    d = F.col("doc_id")
+    edges = docs.select(d.alias("src"), ((d * d + 13) % n).alias("dst")).unionAll(
+        docs.select(d.alias("src"), ((d * d * d + 29) % n).alias("dst"))
+    )
+    return k_core(edges, k=3).select("node", F.col("deg").cast("long").alias("deg"))

@@ -70,3 +70,55 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
+    """k-core decomposition by synchronized peeling: repeatedly remove
+    every vertex whose degree among SURVIVING vertices is < k, until a
+    round removes nothing — the classic fixpoint whose result (the
+    maximal induced subgraph with min degree >= k) is the standard
+    coreness filter for link-graph quality tiers (spam tendrils and
+    dead-end chains peel away; densely-linked hubs remain).
+
+    Input: directed (src, dst) edge rows; the graph is undirected-ified
+    here (reverse union, self-loops dropped, multi-edges deduped) so
+    degree means distinct undirected neighbors.  Each round is one
+    degree aggregation over the surviving edge set + a semi-join filter,
+    with the edge frontier localCheckpointed per round (the
+    label_propagation rule: an un-pinned lineage would re-derive every
+    prior round per reference).  Convergence is certified: RAISES if the
+    fixpoint is not reached within ``max_rounds`` — peeling removes at
+    least one vertex per non-final round, so rounds are bounded by the
+    peel depth, not |V| (CLAUDE.md's d6 chain-closure concern does not
+    arise: no label has to travel; degrees are 1-hop facts).
+
+    Returns (node, deg): the k-core members with their degree INSIDE the
+    core.  At 100 TB each round is one shuffle on the vertex id over a
+    monotonically shrinking edge set."""
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        # both endpoints must survive for the edge to survive
+        pruned = (
+            und.join(keep, "a", "leftsemi")
+            .join(keep.select(F.col("a").alias("b")), "b", "leftsemi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint probe: a round that dropped no edge dropped no vertex
+        if pruned.count() == und.count():
+            return und.groupBy(F.col("a").alias("node")).agg(
+                F.count(F.lit(1)).alias("deg")
+            )
+        und = pruned
+    raise RuntimeError(
+        f"k_core did not reach its fixpoint within {max_rounds} rounds — "
+        f"raise max_rounds (peel depth exceeds the bound)"
+    )
