@@ -4388,3 +4388,72 @@ def d14_prefix_filter_join(spark, sf_dir):
         ).alias("tok"),
     )
     return prefix_filter_pairs(base.unionByName(twin), threshold=(4, 5))
+
+
+@q(
+    "u7_intersect_all",
+    # INTERSECT ALL — the multiset meet completing u6's bag ladder: a
+    # user with 3 big views and 2 big clicks keeps min(3,2) = 2 rows;
+    # same >150 thresholds as u5/u6 keep both sides proper subsets
+    """SELECT user_id FROM events
+       WHERE event_type = 'view' AND value > 150
+       INTERSECT ALL
+       SELECT user_id FROM events
+       WHERE event_type = 'click' AND value > 150""",
+)
+def u7_intersect_all(spark, sf_dir):
+    """Multiset intersection (DataFrame.intersectAll) — closes the
+    set-op ladder: with u6's EXCEPT ALL this gives both bag-algebra
+    primitives (meet = min of multiplicities, difference = surplus).
+    The crawl reading: per-user big-view sessions that CAN be paired
+    one-to-one with a big click — the matched-session count an
+    attribution model caps conversions at.  Spark plans intersectAll
+    like exceptAll: per-side count aggregates + generate
+    (min(count_l, count_r) replicas), two partial-agg shuffles on the
+    key — no row-by-row join, so it holds at 10^10 events."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter((F.col("event_type") == "view") & (F.col("value") > 150)).select(
+        "user_id"
+    )
+    c = ev.filter((F.col("event_type") == "click") & (F.col("value") > 150)).select(
+        "user_id"
+    )
+    return v.intersectAll(c)
+
+
+@q(
+    "m12_png_text_metadata",
+    # construct -> parse identity: tEXt chunks written by the real
+    # encoder (Title always, Software absent when doc_id % 11 == 0)
+    # must read back through the real chunk walker exactly
+    """SELECT 'media://doc/' || CAST(doc_id AS VARCHAR) || '/img0' AS media_ref,
+              'doc' || CAST(doc_id AS VARCHAR) AS title,
+              CASE WHEN doc_id % 11 = 0 THEN NULL
+                   ELSE 'sw' || CAST(doc_id % 7 AS VARCHAR) END AS software,
+              CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 2 END AS INT) AS n_keys
+       FROM documents WHERE doc_id < 200""",
+)
+def m12_png_text_metadata(spark, sf_dir):
+    """In-band image metadata extraction (PNG tEXt — the spec's
+    Title/Author/Software carrier, the image sibling of m7/m10's WAV
+    LIST/INFO chunk): real bytes are written with metadata chunks by
+    the real encoder, then read back by a chunk walker that NEVER
+    inflates pixels — at 100 TB the metadata sweep costs chunk headers,
+    not decodes, and routes which blobs deserve a pixel pass.  Missing
+    keys are exercised (every 11th image omits Software) so extractors
+    prove null handling, not just the happy path.  Two python stages
+    separated by a repartition (CLAUDE.md rule 1, the m2 pattern)."""
+    from .functions.multimodal import extract_media_text, synth_png_media_tagged
+
+    refs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.concat(
+                F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit("/img0")
+            ).alias("media_ref"),
+            F.col("doc_id").alias("seed"),
+        )
+    )
+    media = synth_png_media_tagged(refs).repartition(8)
+    return extract_media_text(media, strict=True)

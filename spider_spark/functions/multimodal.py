@@ -1036,3 +1036,89 @@ def video_fingerprint_media(media: DataFrame, strict: bool = True) -> DataFrame:
             )
 
     return media.select("media_ref", "content").mapInPandas(fn, out_schema)
+
+
+def synth_png_media_tagged(refs: DataFrame) -> DataFrame:
+    """synth_png_media's pixel formulas, plus spec tEXt metadata chunks
+    (png.encode_png(text=)): Title = 'doc<seed>' always; Software =
+    'sw<seed % 7>' except when seed % 11 == 0 (absent — extractors must
+    handle missing keys, not just present ones).  Bytes therefore carry
+    REAL in-band metadata the way crawled images do (Title/Software are
+    the PNG spec's registered keywords)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_refs, blobs, nbytes = [], [], []
+            for ref, seed in zip(pdf["media_ref"], pdf["seed"]):
+                s = int(seed)
+                w, h = 16 + s % 17, 16 + s % 13
+                i = np.arange(w * h, dtype=np.int64)
+                px = np.empty((h, w, 4), dtype=np.uint8)
+                px[..., 0] = ((7 * s + 13 * i) % 256).reshape(h, w)
+                px[..., 1] = ((11 * s + 29 * i) % 256).reshape(h, w)
+                px[..., 2] = (1 + (3 * i + s) % 7).reshape(h, w)
+                px[..., 3] = 255
+                text = {"Title": f"doc{s}"}
+                if s % 11 != 0:
+                    text["Software"] = f"sw{s % 7}"
+                data = png.encode_png(px, filter_type=s % 5, text=text)
+                out_refs.append(ref)
+                blobs.append(data)
+                nbytes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "media_ref": out_refs,
+                    "content": blobs,
+                    "media_kind": ["image"] * len(out_refs),
+                    "n_bytes": np.array(nbytes, dtype=np.int32),
+                }
+            )
+
+    return refs.select("media_ref", F.col("seed").cast("long").alias("seed")).mapInPandas(
+        fn, MEDIA
+    )
+
+
+MEDIA_TEXT = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("software", T.StringType()),
+        T.StructField("n_keys", T.IntegerType()),
+    ]
+)
+
+
+def extract_media_text(media: DataFrame, strict: bool = False) -> DataFrame:
+    """In-band metadata extraction over binary media columns
+    (png.png_text_chunks): per image its tEXt keyword map projected to
+    the registered Title/Software keys plus the key count — WITHOUT
+    inflating pixels (the chunk walk stops at IDAT boundaries' headers),
+    which is the point: a 100 TB media sweep reads metadata at chunk-
+    header cost, deciding what to decode later.  Non-PNG blobs: strict
+    raises (codec boundary), lax yields a null row."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, titles, softwares, nkeys = [], [], [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                try:
+                    chunks = png.png_text_chunks(content or b"")
+                except ValueError:
+                    if strict:
+                        raise
+                    chunks = None
+                refs.append(ref)
+                titles.append(None if chunks is None else chunks.get("Title"))
+                softwares.append(None if chunks is None else chunks.get("Software"))
+                nkeys.append(-1 if chunks is None else len(chunks))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "title": titles,
+                    "software": softwares,
+                    "n_keys": np.array(nkeys, dtype=np.int32),
+                }
+            )
+
+    return media.select("media_ref", "content").mapInPandas(fn, MEDIA_TEXT)

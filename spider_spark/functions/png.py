@@ -40,12 +40,20 @@ def _chunk(kind: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(rgba: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(
+    rgba: np.ndarray, filter_type: int = 0, text: dict[str, str] | None = None
+) -> bytes:
     """Encode an (h, w, 4) uint8 RGBA array as an 8-bit RGBA PNG.
 
     ``filter_type`` applies ONE filter to every scanline (0=None, 1=Sub,
     2=Up, 3=Average, 4=Paeth) — real encoders pick per-row; a fixed type
-    keeps the encoder tiny and lets tests drive every decoder branch."""
+    keeps the encoder tiny and lets tests drive every decoder branch.
+
+    ``text`` emits one spec ``tEXt`` chunk per (keyword, value) after
+    IHDR (keyword 1-79 Latin-1 bytes, NUL separator) — the PNG metadata
+    carrier (Title/Author/Software), the image sibling of the WAV
+    LIST/INFO chunk.  Ancillary by design: decoders that don't care
+    (including ours' pixel path) skip it untouched."""
     rgba = np.ascontiguousarray(rgba, dtype=np.uint8)
     assert rgba.ndim == 3 and rgba.shape[2] == 4, "expected (h, w, 4) RGBA"
     h, w, _ = rgba.shape
@@ -73,7 +81,19 @@ def encode_png(rgba: np.ndarray, filter_type: int = 0) -> bytes:
     )
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
     idat = zlib.compress(lines.tobytes(), 6)
-    return PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+    texts = b""
+    for kw, val in (text or {}).items():
+        kb = kw.encode("latin-1")
+        if not 1 <= len(kb) <= 79 or b"\x00" in kb:
+            raise ValueError(f"invalid tEXt keyword {kw!r}")
+        texts += _chunk(b"tEXt", kb + b"\x00" + val.encode("latin-1"))
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + texts
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
 
 
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -164,3 +184,31 @@ def decode_png(data: bytes) -> np.ndarray:
     else:
         rgba[..., :3] = px
     return rgba
+
+
+def png_text_chunks(data: bytes) -> dict[str, str]:
+    """Parse a PNG's ``tEXt`` metadata chunks to a keyword -> value
+    dict (first occurrence wins; the spec allows repeats but crawl
+    metadata extraction wants one row per key).  Walks the chunk stream
+    only — pixels are never inflated, so this is the cheap metadata
+    pass a media pipeline runs on every image before deciding whether
+    to decode.  Raises ValueError on a non-PNG (same strict boundary
+    as decode_png)."""
+    data = bytes(data)
+    if not is_png(data):
+        raise ValueError("not a PNG: bad signature")
+    out: dict[str, str] = {}
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        kind = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if kind == b"tEXt" and b"\x00" in body:
+            kw, val = body.split(b"\x00", 1)
+            out.setdefault(kw.decode("latin-1"), val.decode("latin-1"))
+        elif kind == b"IEND":
+            break
+        pos += 12 + length
+    return out

@@ -133,3 +133,38 @@ def test_strict_mode_still_guards_non_png(spark):
     )
     with _pytest.raises(Exception):  # NotImplementedError inside the python worker
         binarize_media(synth_media_table(refs), strict=True).collect()
+
+
+def test_text_chunks_roundtrip_and_pixels_unaffected():
+    from spider_spark.functions.png import png_text_chunks
+
+    img = np.arange(5 * 4 * 4, dtype=np.uint8).reshape(5, 4, 4)
+    meta = {"Title": "doc7", "Software": "sw3", "Author": "a1"}
+    data = encode_png(img, filter_type=3, text=meta)
+    assert png_text_chunks(data) == meta
+    # metadata is ancillary: the pixel path decodes identically
+    assert (decode_png(data) == img).all()
+    # absent metadata reads as empty, not an error
+    assert png_text_chunks(encode_png(img)) == {}
+
+
+def test_text_chunk_first_occurrence_wins_and_non_png_raises():
+    from spider_spark.functions.png import png_text_chunks
+
+    img = np.zeros((2, 2, 4), dtype=np.uint8)
+    data = encode_png(img, text={"Title": "first"})
+    # splice a second Title after IHDR+first tEXt (spec allows repeats)
+    dup = _chunk(b"tEXt", b"Title\x00second")
+    iend = data.index(b"IEND") - 4
+    patched = data[:iend] + dup + data[iend:]
+    assert png_text_chunks(patched)["Title"] == "first"
+    with pytest.raises(ValueError, match="signature"):
+        png_text_chunks(b"GIF89a not a png")
+
+
+def test_text_keyword_validation():
+    img = np.zeros((2, 2, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="keyword"):
+        encode_png(img, text={"": "empty"})
+    with pytest.raises(ValueError, match="keyword"):
+        encode_png(img, text={"x" * 80: "too long"})
