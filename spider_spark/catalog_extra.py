@@ -737,3 +737,46 @@ def g8_kcore(spark, sf_dir):
         docs.select(d.alias("src"), ((d * d * d + 29) % n).alias("dst"))
     )
     return k_core(edges, k=3).select("node", F.col("deg").cast("long").alias("deg"))
+
+
+@q(
+    "j13_asof_next_purchase",
+    # forward as-of: for each view, the EARLIEST same-user purchase at
+    # or after it (ties broken by ascending purchase id) — j8's twin
+    # mirrored with ASC ordering and the inequality flipped
+    """WITH v AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'view'),
+            p AS (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'purchase')
+       SELECT v_id, user_id, p_id, p_value FROM (
+         SELECT v.event_id AS v_id, v.user_id AS user_id,
+                p.event_id AS p_id, ROUND(p.value, 6) AS p_value,
+                ROW_NUMBER() OVER (PARTITION BY v.event_id
+                                   ORDER BY p.ts ASC, p.event_id ASC) AS rn
+         FROM v JOIN p ON p.user_id = v.user_id AND p.ts >= v.ts) t
+       WHERE rn = 1""",
+)
+def j13_asof_next_purchase(spark, sf_dir):
+    """FORWARD as-of join (asof_join(direction='forward')): for each
+    view, the first purchase by the same user at or after it — the
+    time-to-convert / next-successful-fetch-after-error mode that j8's
+    backward as-of cannot express.  Same physics as j8: one union + ONE
+    key shuffle + a single window pass (first(ignorenulls) over the
+    FOLLOWING frame, left rows sorting before right at equal ts so
+    at-or-after is inclusive) — no inequality join, no row explosion;
+    the DuckDB twin is the naive O(n^2-per-user) theta join +
+    ROW_NUMBER, which must agree exactly."""
+    from .functions.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id"), F.col("value").alias("p_value")
+    )
+    j = asof_join(
+        views, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["p_id", "p_value"], how="inner", direction="forward",
+    )
+    return j.select("v_id", "user_id", "p_id", F.round("p_value", 6).alias("p_value"))

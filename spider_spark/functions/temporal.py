@@ -46,25 +46,35 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach ``right_cols`` from the latest right
-    row with the same ``on`` key and ``right_ts <= left_ts`` (inclusive).
+    """For every left row, attach ``right_cols`` from the matching right
+    row with the same ``on`` key: ``direction='backward'`` (default)
+    picks the LATEST right row with ``right_ts <= left_ts`` (inclusive);
+    ``'forward'`` picks the EARLIEST right row with
+    ``right_ts >= left_ts`` — the time-to-next-event mode (next
+    conversion after a view, next successful fetch after an error).
 
     ``right`` must already be projected to ``[on, right_ts, *right_cols]``
     shape with ``right_cols`` disjoint from ``left``'s columns.  Among
-    right rows sharing the same timestamp the one sorting last under
-    ``(right_ts, *right_cols)`` wins, which makes ties deterministic.
-    ``how='inner'`` drops left rows with no match; ``'left'`` keeps them
-    with nulls.
+    right rows sharing the same timestamp, backward keeps the one
+    sorting LAST under ``(right_ts, *right_cols)`` and forward the one
+    sorting FIRST — ties deterministic either way.  ``how='inner'``
+    drops left rows with no match; ``'left'`` keeps them with nulls.
     """
     clash = set(right_cols) & set(left.columns)
     if clash:
         raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
 
+    # side ordering makes the boundary inclusive: backward sorts right
+    # rows BEFORE left at equal ts (carry sees them), forward AFTER
+    l_side = 1 if direction == "backward" else 0
     out_cols = [c for c in left.columns]
-    l_tagged = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(1))
+    l_tagged = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(l_side))
     for c in right_cols:
         l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
     l_tagged = l_tagged.withColumn(_RTS, F.lit(None).cast(right.schema[right_ts].dataType))
@@ -74,27 +84,31 @@ def asof_join(
         F.col(right_ts).alias(_TS),
         F.col(right_ts).alias(_RTS),
         *[F.col(c) for c in right_cols],
-    ).withColumn(_SIDE, F.lit(0))
+    ).withColumn(_SIDE, F.lit(1 - l_side))
     for c in out_cols:
         if c not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
 
-    # Right rows (side 0) sort before left rows (side 1) at equal
-    # timestamps, so "at or before" is inclusive; trailing right_cols
+    # Backward: right rows sort before left rows at equal timestamps and
+    # last(ignorenulls) over the PRECEDING frame carries the newest
+    # match; forward mirrors it — left first at equal ts,
+    # first(ignorenulls) over the FOLLOWING frame.  Trailing right_cols
     # break ties among same-timestamp right rows deterministically.
-    w = (
-        Window.partitionBy(on)
-        .orderBy(_TS, _SIDE, *right_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy(on).orderBy(_TS, _SIDE, *right_cols)
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carry = F.last
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carry = F.first
     carried = unioned.select(
         *out_cols,
         F.col(_SIDE),
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_m_{c}") for c in [_RTS, *right_cols]],
+        *[carry(c, ignorenulls=True).over(w).alias(f"_m_{c}") for c in [_RTS, *right_cols]],
     )
-    matched = carried.filter(F.col(_SIDE) == 1).select(
+    matched = carried.filter(F.col(_SIDE) == l_side).select(
         *out_cols,
         F.col(f"_m_{_RTS}").alias("asof_matched_ts"),
         *[F.col(f"_m_{c}").alias(c) for c in right_cols],

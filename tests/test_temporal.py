@@ -233,3 +233,68 @@ def test_bucketed_interval_join_randomized_matches_naive(spark, seed):
     )
     want = sorted((w, p) for w, s, e in ivs for (p,) in pts if s <= p < e)
     assert got == want, seed
+
+
+# ------------------------------------------------------ forward as-of
+
+def _naive_asof_forward():
+    out = {}
+    for key, lts, tag in LEFT:
+        cands = [(rts, rv) for k, rts, rv in RIGHT if k == key and rts >= lts]
+        out[tag] = min(cands) if cands else None
+    return out
+
+
+def test_asof_join_forward_matches_naive(spark):
+    left, right = _asof_frames(spark)
+    got = {
+        r["tag"]: (r["asof_matched_ts"], r["rv"])
+        for r in asof_join(
+            left, right, on="key", left_ts="lts", right_ts="rts",
+            right_cols=["rv"], direction="forward",
+        ).collect()
+    }
+    want = {t: m for t, m in _naive_asof_forward().items() if m is not None}
+    assert got == want
+    assert got["L1"] == (10, 100), "right_ts == left_ts must match (inclusive)"
+    assert got["L4"] == (60, 600), "forward finds rights strictly after"
+    assert "L6" not in got, "rights strictly before the left row never match forward"
+    # tie among same-ts right rows: FIRST by tie-break col wins
+    tie_left = left.sparkSession.createDataFrame(
+        [("d", 15, "T1")], "key string, lts long, tag string"
+    )
+    tie = asof_join(
+        tie_left, right, on="key", left_ts="lts", right_ts="rts",
+        right_cols=["rv"], direction="forward",
+    ).collect()
+    assert [(r["asof_matched_ts"], r["rv"]) for r in tie] == [(20, 201)]
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="key", left_ts="lts", right_ts="rts",
+                  right_cols=["rv"], direction="sideways")
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_asof_join_forward_randomized_matches_naive(spark, seed):
+    rng = np.random.default_rng(seed)
+    keys = ["a", "b", "c", "d"]
+    left = [
+        (keys[int(rng.integers(4))], int(rng.integers(0, 50)), i)
+        for i in range(40)
+    ]
+    right = [
+        (keys[int(rng.integers(4))], int(rng.integers(0, 50)), int(rng.integers(0, 1000)))
+        for _ in range(40)
+    ]
+    ldf = spark.createDataFrame(left, "key string, lts long, lid long")
+    rdf = spark.createDataFrame(right, "key string, rts long, rv long")
+    got = {
+        r["lid"]: (r["asof_matched_ts"], r["rv"])
+        for r in asof_join(
+            ldf, rdf, on="key", left_ts="lts", right_ts="rts",
+            right_cols=["rv"], how="left", direction="forward",
+        ).collect()
+    }
+    for key, lts, lid in left:
+        cands = [(rts, rv) for k, rts, rv in right if k == key and rts >= lts]
+        want = min(cands) if cands else (None, None)
+        assert got[lid] == want, (seed, lid)
