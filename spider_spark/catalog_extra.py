@@ -780,3 +780,83 @@ def j13_asof_next_purchase(spark, sf_dir):
         right_cols=["p_id", "p_value"], how="inner", direction="forward",
     )
     return j.select("v_id", "user_id", "p_id", F.round("p_value", 6).alias("p_value"))
+
+
+@q(
+    "a23_hll_sketch_store",
+    # invariant oracle (the a10/c2 pattern): the graded rows are EXACT
+    # per-slice and union cardinalities, SQL-restatable; the sketch
+    # path — per-round HLL sketches persisted as binary store rows,
+    # reread, merged with hll_union_agg — must estimate each within 5%
+    # or the entry RAISES (lgConfigK=12 -> ~1.6% relative standard
+    # error, so 5% is a >3-sigma band, not a tuned constant)
+    """SELECT 'r1' AS probe,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct
+       FROM documents WHERE doc_id % 3 IN (0, 1)
+       UNION ALL
+       SELECT 'r2', CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+       FROM documents WHERE doc_id % 3 IN (1, 2)
+       UNION ALL
+       SELECT 'r3', CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+       FROM documents WHERE doc_id % 4 = 0
+       UNION ALL
+       SELECT 'union', CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+       FROM documents""",
+)
+def a23_hll_sketch_store(spark, sf_dir):
+    """Mergeable distinct-count sketches as STORE STATE (Spark 4
+    datasketches: hll_sketch_agg / hll_union_agg / hll_sketch_estimate):
+    each crawl round appends its URL-universe HLL sketch as a BINARY
+    row to a store table; any later consumer rereads the rows and
+    unions them — cross-round distinct counting at sketch cost, never
+    a re-scan of history (the mergeable-summaries property a13's
+    Misra-Gries uses for heavy hitters, applied to cardinality).  The
+    parquet round-trip matters: it proves the sketch binary survives
+    storage, which is what makes per-round checkpointing of the
+    estimator sound.  Estimates are engine-specific, so the graded
+    output is the EXACT cardinalities; the sketch path gates them
+    inside a 5% band and RAISES on miss."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .storage import TableStore
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spider_spark_a23_store_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, root)
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("doc_id"))
+    slices = {
+        "r1": docs.filter(F.col("doc_id") % 3 < 2),
+        "r2": docs.filter(F.col("doc_id") % 3 >= 1),
+        "r3": docs.filter(F.col("doc_id") % 4 == 0),
+    }
+    for name, sl in slices.items():
+        store.append(
+            "sketches",
+            sl.agg(F.hll_sketch_agg("doc_id", F.lit(12)).alias("sk")).select(
+                F.lit(name).alias("probe"), "sk"
+            ),
+        )
+    persisted = store.read("sketches")
+    ests = {
+        r["probe"]: r["est"]
+        for r in persisted.select(
+            "probe", F.hll_sketch_estimate("sk").alias("est")
+        ).collect()
+    }
+    ests["union"] = persisted.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    exacts = {name: sl.distinct().count() for name, sl in slices.items()}
+    exacts["union"] = docs.distinct().count()
+    for name, exact in exacts.items():
+        if abs(ests[name] - exact) * 20 > exact:
+            raise AssertionError(
+                f"HLL estimate for {name} out of band: est={ests[name]} exact={exact}"
+            )
+    return spark.createDataFrame(
+        sorted(exacts.items()), "probe string, exact_distinct long"
+    )
