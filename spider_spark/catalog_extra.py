@@ -860,3 +860,82 @@ def a23_hll_sketch_store(spark, sf_dir):
     return spark.createDataFrame(
         sorted(exacts.items()), "probe string, exact_distinct long"
     )
+
+
+@q(
+    "w14_gap_fill_ffill",
+    # time-series resample: per user, one row per day from first to
+    # last view day (gaps GENERATED, not observed), carrying the last
+    # known value forward — day index is BIGINT epoch-microseconds div
+    # 86400e6 (no timezone, no date type), summand milli-scaled (w10
+    # rule), per-day winner totalized by (ts DESC, event_id DESC)
+    """WITH e AS (
+         SELECT user_id,
+                epoch_us(ts) // 86400000000 AS d,
+                CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+                ROW_NUMBER() OVER (
+                  PARTITION BY user_id, epoch_us(ts) // 86400000000
+                  ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events WHERE event_type = 'view'),
+       daily AS (SELECT user_id, d, v FROM e WHERE rn = 1),
+       span AS (SELECT user_id, MIN(d) AS lo, MAX(d) AS hi
+                FROM daily GROUP BY user_id),
+       days AS (SELECT user_id, unnest(generate_series(lo, hi)) AS d
+                FROM span)
+       SELECT days.user_id AS user_id, days.d AS day_idx,
+              CAST(last_value(daily.v IGNORE NULLS) OVER (
+                PARTITION BY days.user_id ORDER BY days.d) AS BIGINT)
+                AS filled_v,
+              daily.v IS NULL AS was_gap
+       FROM days LEFT JOIN daily
+         ON daily.user_id = days.user_id AND daily.d = days.d""",
+)
+def w14_gap_fill_ffill(spark, sf_dir):
+    """Gap-filling resample + forward fill — the time-series
+    normalization every monitoring/feature pipeline runs (a metric
+    sampled irregularly becomes one row per calendar bucket, last
+    observation carried forward).  Missing buckets are GENERATED
+    (sequence + explode over each user's [first, last] day span), then
+    a last(ignorenulls) window carries values across them; the leading
+    bucket always has a value by construction (the span starts at an
+    observation).  Everything is BIGINT (epoch-us day index, milli-
+    scaled values, struct-max day winner), so the fill is engine-exact.
+    Plan shape: one (user, day) aggregate, a tiny span aggregate whose
+    exploded output joins back on (user, day), one ordered window per
+    user — generation never touches the raw event volume.  At 100 TB
+    the explode emits rows proportional to user-days, not events."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view").select(
+            "user_id",
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.col("event_id").cast("long").alias("eid"),
+            F.floor(F.col("value") * 1000).cast("long").alias("v"),
+        )
+        daily = ev.groupBy("user_id", "d").agg(
+            F.max(F.struct("us", "eid", "v")).getField("v").alias("v")
+        )
+        span = daily.groupBy("user_id").agg(
+            F.min("d").alias("lo"), F.max("d").alias("hi")
+        )
+        days = span.select(
+            "user_id", F.explode(F.sequence("lo", "hi")).alias("d")
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            days.join(daily, ["user_id", "d"], "left")
+            .select(
+                "user_id",
+                F.col("d").alias("day_idx"),
+                F.last("v", ignorenulls=True).over(w).cast("long").alias("filled_v"),
+                F.col("v").isNull().alias("was_gap"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
