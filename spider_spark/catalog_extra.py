@@ -939,3 +939,37 @@ def w14_gap_fill_ffill(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+@q(
+    "a24_group_mode",
+    # per-user modal event type, tie-broken (count DESC, type ASC) so
+    # the winner is total-ordered and engine-exact
+    """SELECT user_id, event_type AS modal_type, n FROM (
+         SELECT user_id, event_type, COUNT(*) AS n,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY COUNT(*) DESC, event_type ASC) AS rk
+         FROM events GROUP BY user_id, event_type) t
+       WHERE rk = 1""",
+)
+def a24_group_mode(spark, sf_dir):
+    """Per-group MODE (most frequent value) with a deterministic
+    tie-break — the categorical summary statistic (dominant event type
+    per user, dominant language per host) that engines disagree on by
+    default because bare mode() picks an arbitrary tied winner: the
+    (count DESC, value ASC) rank totalizes it.  Plan shape: one
+    (user, type) count aggregate with map-side combine, then the
+    per-user rank window runs on the AGGREGATED rows — the window input
+    is bounded by distinct groups, never raw events, so the second
+    exchange moves |users x types| rows at 100 TB."""
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
+    )
